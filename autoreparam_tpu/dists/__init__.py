@@ -1,0 +1,7 @@
+from . import bijectors
+from .bijectors import (Affine, Bijector, Chain, Exp, Identity, Sigmoid,
+                        Softplus)
+from .distributions import (Bernoulli, Binomial, Cauchy, Delta, Distribution,
+                            Exponential, Gamma, HalfCauchy, HalfNormal,
+                            InverseGamma, LogNormal, Normal, Poisson,
+                            StudentT, Uniform)

@@ -1,0 +1,410 @@
+"""Distributions in pure jax.numpy — the L1' layer of SURVEY.md §8.1.
+
+TPU-native replacement for the slice of `tfp.distributions` the reference
+uses (Normal/HalfNormal/HalfCauchy/LogNormal/Gamma/StudentT/Bernoulli/
+Binomial; SURVEY.md §3.1 "Model zoo", §8.1 dists/).  Semantics are
+deliberately simple and TPU-friendly:
+
+- Everything is **elementwise**: `log_prob(x)` broadcasts parameters
+  against `x` and returns an array of per-element log-densities; the
+  log-joint machinery sums all elements.  (The reference relied on TFP
+  batch shapes the same way.)
+- All math is float32-safe — no f64 anywhere on the hot path.
+- Location-scale families expose `loc_scale()` so the reparameterisation
+  layer (CP/NCP/VIP) can rewrite them generically, and `with_loc_scale`
+  to rebuild the same family with new parameters.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from . import bijectors as bij
+
+__all__ = [
+    "Distribution", "Normal", "HalfNormal", "Cauchy", "HalfCauchy",
+    "LogNormal", "Exponential", "Gamma", "InverseGamma", "StudentT",
+    "Uniform", "Bernoulli", "Binomial", "Poisson", "Delta",
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _bshape(*xs):
+    return jnp.broadcast_shapes(*(jnp.shape(x) for x in xs))
+
+
+class Distribution:
+    """Base class. Subclasses define batch_shape, sample_std/log_prob."""
+
+    #: Bijector mapping unconstrained R -> support (None = discrete /
+    #: cannot be a latent in HMC).
+    def support_bijector(self) -> Optional[bij.Bijector]:
+        return bij.Identity()
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+    def sample(self, key, sample_shape: Tuple[int, ...] = ()):
+        raise NotImplementedError
+
+    def log_prob(self, x):
+        raise NotImplementedError
+
+    # -- reparameterisation protocol (CP/NCP/VIP) -----------------------
+    def loc_scale(self):
+        """Return (loc, scale) if this is an elementwise location-scale
+        family eligible for NCP/VIP rewriting, else None."""
+        return None
+
+    def with_loc_scale(self, loc, scale):
+        raise NotImplementedError(
+            f"{type(self).__name__} is not a location-scale family")
+
+    def __repr__(self):
+        return type(self).__name__
+
+
+class Normal(Distribution):
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale * z
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -0.5 * z * z - jnp.log(self.scale) - 0.5 * _LOG_2PI
+
+    def loc_scale(self):
+        return self.loc, self.scale
+
+    def with_loc_scale(self, loc, scale):
+        return Normal(loc, scale)
+
+
+class HalfNormal(Distribution):
+    def __init__(self, scale=1.0):
+        self.scale = scale
+
+    def support_bijector(self):
+        return bij.Exp()
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return jnp.abs(z) * self.scale
+
+    def log_prob(self, x):
+        z = x / self.scale
+        return (math.log(2.0) - 0.5 * z * z - jnp.log(self.scale)
+                - 0.5 * _LOG_2PI)
+
+
+class Cauchy(Distribution):
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.cauchy(key, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale * z
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -math.log(math.pi) - jnp.log(self.scale) - jnp.log1p(z * z)
+
+    def loc_scale(self):
+        return self.loc, self.scale
+
+    def with_loc_scale(self, loc, scale):
+        return Cauchy(loc, scale)
+
+
+class HalfCauchy(Distribution):
+    def __init__(self, scale=1.0):
+        self.scale = scale
+
+    def support_bijector(self):
+        return bij.Exp()
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.cauchy(key, shape, dtype=jnp.result_type(float))
+        return jnp.abs(z) * self.scale
+
+    def log_prob(self, x):
+        z = x / self.scale
+        return (math.log(2.0 / math.pi) - jnp.log(self.scale)
+                - jnp.log1p(z * z))
+
+
+class LogNormal(Distribution):
+    """exp(Normal(loc, scale)).  Exposes the underlying normal's
+    (loc, scale) through `base_loc_scale` so NCP/VIP can reparameterise in
+    log-space (the reference's `german_credit_lognormalcentered` model is
+    exactly this pattern; SURVEY.md §1, BASELINE config #4)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    def support_bijector(self):
+        return bij.Exp()
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return jnp.exp(self.loc + self.scale * z)
+
+    def log_prob(self, x):
+        logx = jnp.log(x)
+        z = (logx - self.loc) / self.scale
+        return (-0.5 * z * z - jnp.log(self.scale) - 0.5 * _LOG_2PI - logx)
+
+    # Not itself location-scale, but its log is:
+    def base_loc_scale(self):
+        return self.loc, self.scale
+
+
+class Exponential(Distribution):
+    def __init__(self, rate=1.0):
+        self.rate = rate
+
+    def support_bijector(self):
+        return bij.Exp()
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.rate)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        e = jax.random.exponential(key, shape, dtype=jnp.result_type(float))
+        return e / self.rate
+
+    def log_prob(self, x):
+        return jnp.log(self.rate) - self.rate * x
+
+
+class Gamma(Distribution):
+    def __init__(self, concentration, rate=1.0):
+        self.concentration = concentration
+        self.rate = rate
+
+    def support_bijector(self):
+        return bij.Exp()
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.rate)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        conc = jnp.broadcast_to(self.concentration, shape)
+        g = jax.random.gamma(key, conc, dtype=jnp.result_type(float))
+        return g / self.rate
+
+    def log_prob(self, x):
+        a, b = self.concentration, self.rate
+        return (a * jnp.log(b) - gammaln(a) + (a - 1.0) * jnp.log(x) - b * x)
+
+
+class InverseGamma(Distribution):
+    def __init__(self, concentration, scale=1.0):
+        self.concentration = concentration
+        self.scale = scale
+
+    def support_bijector(self):
+        return bij.Exp()
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        conc = jnp.broadcast_to(self.concentration, shape)
+        g = jax.random.gamma(key, conc, dtype=jnp.result_type(float))
+        return self.scale / g
+
+    def log_prob(self, x):
+        a, b = self.concentration, self.scale
+        return (a * jnp.log(b) - gammaln(a) - (a + 1.0) * jnp.log(x) - b / x)
+
+
+class StudentT(Distribution):
+    def __init__(self, df, loc=0.0, scale=1.0):
+        self.df = df
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.df, self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        df = jnp.broadcast_to(jnp.asarray(self.df, jnp.result_type(float)),
+                              shape)
+        z = jax.random.t(key, df, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale * z
+
+    def log_prob(self, x):
+        df = self.df
+        z = (x - self.loc) / self.scale
+        return (gammaln((df + 1.0) / 2.0) - gammaln(df / 2.0)
+                - 0.5 * (jnp.log(df) + math.log(math.pi))
+                - jnp.log(self.scale)
+                - (df + 1.0) / 2.0 * jnp.log1p(z * z / df))
+
+    def loc_scale(self):
+        return self.loc, self.scale
+
+    def with_loc_scale(self, loc, scale):
+        return StudentT(self.df, loc, scale)
+
+
+class Uniform(Distribution):
+    def __init__(self, low=0.0, high=1.0):
+        self.low = low
+        self.high = high
+
+    def support_bijector(self):
+        return bij.Chain(bij.Sigmoid(),
+                         bij.Affine(self.low, self.high - self.low))
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.low, self.high)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
+        return self.low + (self.high - self.low) * u
+
+    def log_prob(self, x):
+        return jnp.broadcast_to(-jnp.log(self.high - self.low),
+                                _bshape(x, self.low, self.high))
+
+
+class Bernoulli(Distribution):
+    """Parameterised by logits (TPU-friendly: no clipping of probs)."""
+
+    def __init__(self, logits):
+        self.logits = logits
+
+    def support_bijector(self):
+        return None
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.bernoulli(
+            key, jax.nn.sigmoid(self.logits), shape
+        ).astype(jnp.result_type(float))
+
+    def log_prob(self, x):
+        # x*l - softplus(l) = x log p + (1-x) log(1-p)
+        return x * self.logits - jax.nn.softplus(self.logits)
+
+
+class Binomial(Distribution):
+    def __init__(self, total_count, logits):
+        self.total_count = total_count
+        self.logits = logits
+
+    def support_bijector(self):
+        return None
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.total_count, self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        n = jnp.broadcast_to(
+            jnp.asarray(self.total_count, jnp.result_type(float)), shape)
+        p = jnp.broadcast_to(jax.nn.sigmoid(self.logits), shape)
+        return jax.random.binomial(key, n, p, dtype=jnp.result_type(float))
+
+    def log_prob(self, x):
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        # log C(n, x) via lgamma (x, n float-valued counts)
+        log_comb = (gammaln(n + 1.0) - gammaln(x + 1.0)
+                    - gammaln(n - x + 1.0))
+        return log_comb + x * self.logits - n * jax.nn.softplus(self.logits)
+
+
+class Poisson(Distribution):
+    def __init__(self, rate=None, *, log_rate=None):
+        if (rate is None) == (log_rate is None):
+            raise ValueError("pass exactly one of rate / log_rate")
+        self._log_rate = jnp.log(rate) if rate is not None else log_rate
+
+    def support_bijector(self):
+        return None
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self._log_rate)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        lam = jnp.broadcast_to(jnp.exp(self._log_rate), shape)
+        return jax.random.poisson(key, lam).astype(jnp.result_type(float))
+
+    def log_prob(self, x):
+        return x * self._log_rate - jnp.exp(self._log_rate) - gammaln(x + 1.0)
+
+
+class Delta(Distribution):
+    """Point mass; log_prob is 0 at the point (used for deterministic
+    bookkeeping only, never as an HMC latent)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.value)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.broadcast_to(self.value,
+                                tuple(sample_shape) + self.batch_shape)
+
+    def log_prob(self, x):
+        return jnp.zeros(_bshape(x, self.value))

@@ -1,0 +1,331 @@
+"""Hamiltonian Monte Carlo, TPU-native.
+
+Replaces the reference's `tfp.mcmc.HamiltonianMonteCarlo` +
+`sample_chain` + TF1 step-size adaptation stack (SURVEY.md §3.1 "HMC
+runner", §4.1).  Structural differences, by design:
+
+- The whole run (warmup + sampling) is ONE jitted program: `lax.scan`
+  over steps, `vmap` over chains.  The reference's per-run
+  `session.run` host boundary (SURVEY.md §4 ★) does not exist here.
+- Chains are a dense (C, D) f32 array — the TPU-friendly layout; all
+  kernel math is elementwise over it (VPU) and the model's log-joint
+  gradient is whatever XLA fuses it into.
+- Adaptation is per-chain dual averaging (Hoffman & Gelman 2011
+  constants: γ=0.05, t0=10, κ=0.75; arXiv:1111.4246 §3.2.1) plus
+  Stan-style expanding-window diagonal mass (Welford) during warmup.
+- Per-variable scaling from a VI phase (the reference's "step sizes from
+  q* stddevs", SURVEY.md §4.2) enters as the diagonal inverse mass.
+
+Written for single-chain state; batching is pure `jax.vmap`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["HMCConfig", "run_hmc", "hmc_kernel", "warmup_schedule"]
+
+
+class DAState(NamedTuple):
+    """Dual-averaging state (Hoffman–Gelman / NUTS paper §3.2.1)."""
+
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    h_bar: jnp.ndarray
+    t: jnp.ndarray
+    mu: jnp.ndarray
+
+
+def da_init(step_size):
+    log_eps = jnp.log(step_size)
+    return DAState(log_eps=log_eps,
+                   log_eps_bar=jnp.zeros_like(log_eps),
+                   h_bar=jnp.zeros_like(log_eps),
+                   t=jnp.zeros_like(log_eps),
+                   mu=jnp.log(10.0) + log_eps)
+
+
+def da_update(state: DAState, accept_prob, target):
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    t = state.t + 1.0
+    w = 1.0 / (t + t0)
+    h_bar = (1.0 - w) * state.h_bar + w * (target - accept_prob)
+    log_eps = state.mu - jnp.sqrt(t) / gamma * h_bar
+    eta = t ** (-kappa)
+    log_eps_bar = eta * log_eps + (1.0 - eta) * state.log_eps_bar
+    return DAState(log_eps, log_eps_bar, h_bar, t, state.mu)
+
+
+class WelfordState(NamedTuple):
+    mean: jnp.ndarray
+    m2: jnp.ndarray
+    count: jnp.ndarray
+
+
+def welford_init(dim, dtype=jnp.float32):
+    return WelfordState(jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype),
+                        jnp.zeros((), dtype))
+
+
+def welford_update(state: WelfordState, x):
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + delta * (x - mean)
+    return WelfordState(mean, m2, count)
+
+
+def welford_variance(state: WelfordState):
+    """Regularised variance estimate (Stan's shrinkage to unit)."""
+    n = state.count
+    var = state.m2 / jnp.maximum(n - 1.0, 1.0)
+    w = n / (n + 5.0)
+    return w * var + 1e-3 * (1.0 - w)
+
+
+class HMCState(NamedTuple):
+    z: jnp.ndarray          # (D,) unconstrained position
+    pot: jnp.ndarray        # U(z)
+    grad: jnp.ndarray       # ∇U(z)
+
+
+class HMCInfo(NamedTuple):
+    accept_prob: jnp.ndarray
+    is_accepted: jnp.ndarray
+    is_divergent: jnp.ndarray
+    energy: jnp.ndarray
+    step_size: jnp.ndarray
+
+
+def leapfrog(potential_and_grad: Callable, z, r, grad, step_size,
+             inv_mass, num_steps: int):
+    """L kick-drift-kick steps; returns (z, r, pot, grad).
+
+    One potential-gradient evaluation per step (adjacent half-kicks are
+    merged by construction of the scan body).
+    """
+
+    def body(carry, _):
+        z, r, grad = carry
+        r_half = r - 0.5 * step_size * grad
+        z_new = z + step_size * inv_mass * r_half
+        pot_new, grad_new = potential_and_grad(z_new)
+        r_new = r_half - 0.5 * step_size * grad_new
+        return (z_new, r_new, grad_new), pot_new
+
+    (z, r, grad), pots = jax.lax.scan(body, (z, r, grad), None,
+                                      length=num_steps)
+    return z, r, pots[-1], grad
+
+
+def hmc_kernel(potential_fn: Callable, num_leapfrog_steps: int,
+               divergence_threshold: float = 1000.0):
+    """Build `one_step(state, key, step_size, inv_mass) -> (state, info)`
+    for a single chain.  vmap it over (state, key, step_size, inv_mass)
+    for the chain batch."""
+
+    def potential_and_grad(z):
+        return jax.value_and_grad(potential_fn)(z)
+
+    def one_step(state: HMCState, key, step_size, inv_mass):
+        key_mom, key_acc = jax.random.split(key)
+        # r ~ N(0, M) with M = 1/inv_mass (diagonal)
+        r = (jax.random.normal(key_mom, state.z.shape, state.z.dtype)
+             * jax.lax.rsqrt(inv_mass))
+        energy0 = state.pot + 0.5 * jnp.sum(r * r * inv_mass)
+        z_new, r_new, pot_new, grad_new = leapfrog(
+            potential_and_grad, state.z, r, state.grad, step_size,
+            inv_mass, num_leapfrog_steps)
+        energy1 = pot_new + 0.5 * jnp.sum(r_new * r_new * inv_mass)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        is_divergent = -delta > divergence_threshold
+        u = jax.random.uniform(key_acc, (), state.z.dtype)
+        accept = u < accept_prob
+        new_state = HMCState(
+            z=jnp.where(accept, z_new, state.z),
+            pot=jnp.where(accept, pot_new, state.pot),
+            grad=jnp.where(accept, grad_new, state.grad),
+        )
+        info = HMCInfo(accept_prob=accept_prob,
+                       is_accepted=accept,
+                       is_divergent=is_divergent,
+                       energy=energy1,
+                       step_size=step_size)
+        return new_state, info
+
+    return one_step
+
+
+def warmup_schedule(num_warmup: int, init_buffer: int = 75,
+                    term_buffer: int = 50, base_window: int = 25):
+    """Stan's three-phase warmup schedule as static numpy masks.
+
+    Returns (is_slow, is_window_end) boolean arrays of length num_warmup.
+    Fast phases adapt only the step size; slow windows additionally
+    accumulate the diagonal mass, applied at each window end.
+    """
+    if num_warmup <= 0:
+        return (np.zeros((0,), bool), np.zeros((0,), bool))
+    if init_buffer + term_buffer + base_window > num_warmup:
+        # Too short for the full scheme: single slow window in the middle
+        init_buffer = max(1, int(0.15 * num_warmup))
+        term_buffer = max(1, int(0.1 * num_warmup))
+        base_window = num_warmup - init_buffer - term_buffer
+        if base_window <= 0:
+            return (np.zeros((num_warmup,), bool),
+                    np.zeros((num_warmup,), bool))
+    is_slow = np.zeros((num_warmup,), bool)
+    is_end = np.zeros((num_warmup,), bool)
+    pos = init_buffer
+    window = base_window
+    slow_total = num_warmup - init_buffer - term_buffer
+    end_slow = init_buffer + slow_total
+    while pos < end_slow:
+        w = min(window, end_slow - pos)
+        # if the remainder after this window is smaller than the next
+        # window would be, absorb it (Stan's behaviour)
+        if end_slow - (pos + w) < 2 * w and end_slow - (pos + w) > 0:
+            w = end_slow - pos
+        is_slow[pos:pos + w] = True
+        is_end[pos + w - 1] = True
+        pos += w
+        window *= 2
+    return is_slow, is_end
+
+
+class HMCConfig(NamedTuple):
+    num_warmup: int = 1000
+    num_samples: int = 1000
+    num_leapfrog_steps: int = 16
+    target_accept: float = 0.75
+    init_step_size: float = 0.1
+    adapt_mass: bool = True
+    divergence_threshold: float = 1000.0
+    thin: int = 1
+
+
+def run_hmc(potential_fn: Callable,
+            init_positions: jnp.ndarray,   # (C, D)
+            key,
+            config: HMCConfig = HMCConfig(),
+            inv_mass_diag: Optional[jnp.ndarray] = None,  # (D,) or (C, D)
+            collect_fn: Optional[Callable] = None):
+    """Run warmup + sampling for a batch of chains in one jitted program.
+
+    Returns (samples, stats) where samples is (S, C, D) (or the pytree
+    produced by `collect_fn(z)` with leading (S, C)) and stats is a dict
+    of per-phase diagnostics.
+
+    `inv_mass_diag` seeds the diagonal inverse mass — pass the variational
+    posterior variances here for the VIP-HMC pipeline (reference: per-
+    variable step sizes ∝ q stddevs, SURVEY.md §4.2).
+    """
+    C, D = init_positions.shape
+    dtype = init_positions.dtype
+    kernel = hmc_kernel(potential_fn, config.num_leapfrog_steps,
+                        config.divergence_threshold)
+    v_kernel = jax.vmap(kernel, in_axes=(0, 0, 0, 0))
+    pg = jax.vmap(jax.value_and_grad(potential_fn))
+
+    if inv_mass_diag is None:
+        inv_mass0 = jnp.ones((C, D), dtype)
+    else:
+        inv_mass0 = jnp.broadcast_to(jnp.asarray(inv_mass_diag, dtype),
+                                     (C, D))
+
+    pot0, grad0 = pg(init_positions)
+    state0 = HMCState(init_positions, pot0, grad0)
+    da0 = da_init(jnp.full((C,), config.init_step_size, dtype))
+    wf0 = WelfordState(jnp.zeros((C, D), dtype), jnp.zeros((C, D), dtype),
+                       jnp.zeros((C,), dtype))
+
+    is_slow, is_end = warmup_schedule(config.num_warmup)
+    is_slow = jnp.asarray(is_slow)
+    is_end = jnp.asarray(is_end)
+
+    def warmup_step(carry, xs):
+        state, da, wf, inv_mass = carry
+        key, slow, end = xs
+        keys = jax.random.split(key, C)
+        step_size = jnp.exp(da.log_eps)
+        state, info = v_kernel(state, keys, step_size, inv_mass)
+        da = da_update(da, info.accept_prob, config.target_accept)
+        # mass accumulation in slow windows (masked, per chain)
+        if config.adapt_mass:
+            wf_new = jax.vmap(welford_update)(wf, state.z)
+            wf = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)), b, a)
+                if a.ndim > 0 else jnp.where(slow, b, a),
+                wf, wf_new)
+            var = jax.vmap(welford_variance)(wf)
+            new_inv_mass = jnp.where(end, var, inv_mass)
+            # window end: reset welford, restart dual averaging at the
+            # current averaged step size
+            wf = jax.tree.map(
+                lambda a, z: jnp.where(end, z, a), wf,
+                WelfordState(jnp.zeros_like(wf.mean),
+                             jnp.zeros_like(wf.m2),
+                             jnp.zeros_like(wf.count)))
+            da_reset = da_init(jnp.exp(da.log_eps))
+            da = jax.tree.map(lambda a, b: jnp.where(end, b, a), da,
+                              da_reset)
+            inv_mass = new_inv_mass
+        return (state, da, wf, inv_mass), info.accept_prob
+
+    n_w = config.num_warmup
+    key, k_warm, k_samp = jax.random.split(key, 3)
+    if n_w > 0:
+        warm_keys = jax.random.split(k_warm, n_w)
+        (state0, da0, _, inv_mass0), warm_accept = jax.lax.scan(
+            warmup_step, (state0, da0, wf0, inv_mass0),
+            (warm_keys, is_slow, is_end))
+        step_size_final = jnp.exp(da0.log_eps_bar)
+    else:
+        warm_accept = jnp.zeros((0, C), dtype)
+        step_size_final = jnp.full((C,), config.init_step_size, dtype)
+
+    if collect_fn is None:
+        collect_fn = lambda z: z  # noqa: E731
+
+    def sample_step(carry, key):
+        state = carry
+        def inner(state, key):
+            keys = jax.random.split(key, C)
+            state, info = v_kernel(state, keys, step_size_final, inv_mass0)
+            return state, info
+        if config.thin == 1:
+            state, info = inner(state, key)
+        else:
+            def thin_body(s, k):
+                s, info = inner(s, k)
+                return s, info
+            tkeys = jax.random.split(key, config.thin)
+            state, infos = jax.lax.scan(thin_body, state, tkeys)
+            info = jax.tree.map(lambda x: x[-1], infos)
+        out = (jax.vmap(collect_fn)(state.z), info.accept_prob,
+               info.is_divergent)
+        return state, out
+
+    samp_keys = jax.random.split(k_samp, config.num_samples)
+    state_final, (samples, accept_probs, divergences) = jax.lax.scan(
+        sample_step, state0, samp_keys)
+
+    stats = {
+        "step_size": step_size_final,            # (C,)
+        "inv_mass_diag": inv_mass0,              # (C, D)
+        "warmup_accept_prob": warm_accept,       # (W, C)
+        "accept_prob": accept_probs,             # (S, C)
+        "divergences": divergences,              # (S, C)
+        "final_state": state_final,
+        "num_grad_evals_per_sample": config.num_leapfrog_steps
+        * config.thin,
+    }
+    return samples, stats

@@ -1,0 +1,358 @@
+"""No-U-Turn Sampler, iterative and TPU-shaped.
+
+The reference used `tfp.mcmc` HMC only; NUTS is required by BASELINE
+config #5 (election88, 8192 vmapped NUTS chains on a mesh) and is the
+modern default sampler, so this module is a first-class engine.
+
+TPU constraints shape the whole design (SURVEY.md §8.3 #1): no
+recursion, no dynamic shapes.  This is the *iterative* multinomial NUTS
+(Hoffman & Gelman arXiv:1111.4246; iterative formulation and
+momentum-sum U-turn criterion as in NumPyro, arXiv:1912.11554 §A):
+
+- The outer doubling loop is a static Python loop over
+  `max_tree_depth` iterations; iteration j grows the trajectory by a
+  subtree of 2^j leapfrog steps via `lax.scan` — every shape static.
+- Chains that have terminated (U-turn/divergence) are *masked*: their
+  state is frozen while the batch marches in lockstep.  This wastes
+  FLOPs on finished chains but keeps 8k+ chains dense on the VPU —
+  the standard accelerator trade.
+- Within-subtree U-turn checks use the O(log) checkpoint scheme: leaf
+  k's checkpoint slot indices are *precomputed host-side* (popcount /
+  trailing-ones tables fed as scan inputs), so no bit-twiddling runs
+  on-device.
+- U-turn criterion: generalized momentum-sum test
+  (dot(v_end, ρ − r_end/2 ...) ≤ 0 at either end).
+
+Per-chain transition; `vmap` over chains; warmup reuses the dual
+averaging + windowed Welford mass machinery from hmc.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hmc as H
+
+__all__ = ["nuts_kernel", "run_nuts"]
+
+
+def _ckpt_tables(num_leaves: int):
+    """Host-side tables for the iterative U-turn checkpoint scheme.
+
+    For leaf index i in [0, num_leaves):
+      - even i stores its state in slot popcount(i >> 1);
+      - odd i checks turning against slots [idx_min, idx_max] where
+        idx_max = popcount(i >> 1) and idx_min = idx_max − (trailing
+        ones of i) + 1.
+    """
+    idx = np.arange(num_leaves, dtype=np.int64)
+    popc = np.array([bin(v >> 1).count("1") for v in idx], np.int32)
+    trail = np.empty(num_leaves, np.int32)
+    for v in idx:
+        t, x = 0, int(v)
+        while x & 1:
+            t += 1
+            x >>= 1
+        trail[v] = t
+    is_odd = (idx % 2 == 1)
+    store_slot = popc                      # used when even
+    idx_max = popc                         # used when odd
+    idx_min = idx_max - trail + 1
+    return (store_slot.astype(np.int32), idx_min.astype(np.int32),
+            idx_max.astype(np.int32), is_odd)
+
+
+def _is_turning(v_left, v_right, rho):
+    return jnp.logical_or(jnp.dot(v_left, rho) <= 0.0,
+                          jnp.dot(v_right, rho) <= 0.0)
+
+
+class _NutsInfo(NamedTuple):
+    accept_prob: jnp.ndarray     # mean leaf α (dual-averaging statistic)
+    is_divergent: jnp.ndarray
+    depth: jnp.ndarray           # tree depth reached
+    num_grads: jnp.ndarray       # leaves actually integrated (active)
+
+
+def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
+                divergence_threshold: float = 1000.0):
+    """Build `one_step(z, key, step_size, inv_mass) -> (z_new, info)` for
+    a single chain."""
+
+    value_and_grad = jax.value_and_grad(potential_fn)
+
+    def leapfrog_1(z, r, grad, eps, inv_mass):
+        r_half = r - 0.5 * eps * grad
+        z_new = z + eps * inv_mass * r_half
+        pot_new, grad_new = value_and_grad(z_new)
+        r_new = r_half - 0.5 * eps * grad_new
+        return z_new, r_new, pot_new, grad_new
+
+    def one_step(z0, key, step_size, inv_mass):
+        D = z0.shape[0]
+        dtype = z0.dtype
+        k_mom, k_loop = jax.random.split(key)
+        pot0, grad0 = value_and_grad(z0)
+        r0 = (jax.random.normal(k_mom, (D,), dtype)
+              * jax.lax.rsqrt(inv_mass))
+        energy0 = pot0 + 0.5 * jnp.sum(r0 * r0 * inv_mass)
+
+        # trajectory state
+        zL, rL, gL = z0, r0, grad0    # leftmost leaf
+        zR, rR, gR = z0, r0, grad0    # rightmost leaf
+        r_sum = r0
+        cand_z = z0
+        log_w = jnp.zeros((), dtype)  # weight of initial point: e^0
+        done = jnp.zeros((), bool)
+        divergent = jnp.zeros((), bool)
+        depth_reached = jnp.zeros((), jnp.int32)
+        sum_alpha = jnp.zeros((), dtype)
+        n_alpha = jnp.zeros((), dtype)
+        num_grads = jnp.zeros((), dtype)
+
+        for j in range(max_tree_depth):
+            n_leaves = 2 ** j
+            store_slot, idx_min, idx_max, is_odd = _ckpt_tables(n_leaves)
+            k_loop, k_dir, k_sub, k_acc = jax.random.split(k_loop, 4)
+            going_right = jax.random.bernoulli(k_dir)
+            eps = jnp.where(going_right, step_size, -step_size)
+            z_e = jnp.where(going_right, zR, zL)
+            r_e = jnp.where(going_right, rR, rL)
+            g_e = jnp.where(going_right, gR, gL)
+
+            # ---- build subtree of n_leaves leaves iteratively --------
+            ckpt_r = jnp.zeros((max_tree_depth, D), dtype)
+            ckpt_rsum = jnp.zeros((max_tree_depth, D), dtype)
+
+            sub0 = dict(
+                z=z_e, r=r_e, grad=g_e,
+                r_sum=jnp.zeros((D,), dtype),
+                log_w=-jnp.inf * jnp.ones((), dtype),
+                cand=z_e,  # overwritten by first leaf (weight −inf)
+                stop=done,  # if chain already done, subtree is a no-op
+                div=jnp.zeros((), bool),
+                ckpt_r=ckpt_r, ckpt_rsum=ckpt_rsum,
+                s_alpha=jnp.zeros((), dtype),
+                n_leaf=jnp.zeros((), dtype),
+            )
+
+            leaf_keys = jax.random.split(k_sub, n_leaves)
+
+            def leaf_step(c, xs):
+                slot, imin, imax, odd, lk = xs
+                z_new, r_new, pot_new, grad_new = leapfrog_1(
+                    c["z"], c["r"], c["grad"], eps, inv_mass)
+                h = pot_new + 0.5 * jnp.sum(r_new * r_new * inv_mass)
+                dE = energy0 - h
+                dE = jnp.where(jnp.isnan(dE), -jnp.inf, dE)
+                div_leaf = -dE > divergence_threshold
+                log_w_new = jnp.logaddexp(c["log_w"], dE)
+                take = (jax.random.uniform(lk, (), dtype)
+                        < jnp.exp(dE - log_w_new))
+                r_sum_new = c["r_sum"] + r_new
+                alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dE, 0.0)))
+
+                # checkpoint store (even leaves)
+                do_store = jnp.logical_and(~odd, ~c["stop"])
+                ck_r = jnp.where(
+                    do_store,
+                    c["ckpt_r"].at[slot].set(r_new),
+                    c["ckpt_r"])
+                ck_rs = jnp.where(
+                    do_store,
+                    c["ckpt_rsum"].at[slot].set(r_sum_new),
+                    c["ckpt_rsum"])
+
+                # turning checks (odd leaves) against slots imin..imax
+                def slot_turn(s):
+                    r_l = ck_r[s]
+                    rho = (r_sum_new - ck_rs[s] + r_l
+                           - 0.5 * (r_l + r_new))
+                    return _is_turning(inv_mass * r_l,
+                                       inv_mass * r_new, rho)
+
+                turning = jnp.zeros((), bool)
+                for s in range(max_tree_depth):
+                    in_range = jnp.logical_and(s >= imin, s <= imax)
+                    turning = jnp.logical_or(
+                        turning,
+                        jnp.logical_and(
+                            jnp.logical_and(odd, in_range), slot_turn(s)))
+
+                stop_new = jnp.logical_or(
+                    c["stop"], jnp.logical_or(div_leaf, turning))
+                upd = lambda new, old: jnp.where(c["stop"], old, new)  # noqa: E731
+                c2 = dict(
+                    z=upd(z_new, c["z"]),
+                    r=upd(r_new, c["r"]),
+                    grad=upd(grad_new, c["grad"]),
+                    r_sum=upd(r_sum_new, c["r_sum"]),
+                    log_w=upd(jnp.where(div_leaf, c["log_w"], log_w_new),
+                              c["log_w"]),
+                    cand=jnp.where(
+                        jnp.logical_and(~c["stop"],
+                                        jnp.logical_and(take, ~div_leaf)),
+                        z_new, c["cand"]),
+                    stop=stop_new,
+                    div=jnp.logical_or(c["div"], jnp.logical_and(
+                        ~c["stop"], div_leaf)),
+                    ckpt_r=ck_r, ckpt_rsum=ck_rs,
+                    s_alpha=upd(c["s_alpha"] + alpha, c["s_alpha"]),
+                    n_leaf=upd(c["n_leaf"] + 1.0, c["n_leaf"]),
+                )
+                return c2, None
+
+            xs = (jnp.asarray(store_slot), jnp.asarray(idx_min),
+                  jnp.asarray(idx_max), jnp.asarray(is_odd), leaf_keys)
+            sub, _ = jax.lax.scan(leaf_step, sub0, xs)
+
+            subtree_ok = jnp.logical_and(
+                ~sub["div"],
+                # stop due to turning inside the subtree also invalidates
+                jnp.logical_or(~sub["stop"], done))
+            active = ~done
+
+            # biased progressive sampling between old trajectory and the
+            # new subtree
+            accept_new = (jax.random.uniform(k_acc, (), dtype)
+                          < jnp.exp(sub["log_w"] - log_w))
+            use_new = jnp.logical_and(
+                active, jnp.logical_and(subtree_ok, accept_new))
+            cand_z = jnp.where(use_new, sub["cand"], cand_z)
+            log_w_merged = jnp.logaddexp(log_w, sub["log_w"])
+
+            # merge endpoints / momentum sum only if subtree valid
+            merge = jnp.logical_and(active, subtree_ok)
+            r_sum_new = jnp.where(merge, r_sum + sub["r_sum"], r_sum)
+            zR = jnp.where(jnp.logical_and(merge, going_right),
+                           sub["z"], zR)
+            rR = jnp.where(jnp.logical_and(merge, going_right),
+                           sub["r"], rR)
+            gR = jnp.where(jnp.logical_and(merge, going_right),
+                           sub["grad"], gR)
+            zL = jnp.where(jnp.logical_and(merge, ~going_right),
+                           sub["z"], zL)
+            rL = jnp.where(jnp.logical_and(merge, ~going_right),
+                           sub["r"], rL)
+            gL = jnp.where(jnp.logical_and(merge, ~going_right),
+                           sub["grad"], gL)
+            log_w = jnp.where(merge, log_w_merged, log_w)
+            r_sum = r_sum_new
+
+            # whole-trajectory U-turn check after a successful merge
+            rho = r_sum - 0.5 * (rL + rR)
+            turned = _is_turning(inv_mass * rL, inv_mass * rR, rho)
+
+            divergent = jnp.logical_or(divergent,
+                                       jnp.logical_and(active, sub["div"]))
+            sum_alpha = sum_alpha + jnp.where(active, sub["s_alpha"], 0.0)
+            n_alpha = n_alpha + jnp.where(active, sub["n_leaf"], 0.0)
+            num_grads = num_grads + jnp.where(active, sub["n_leaf"], 0.0)
+            depth_reached = depth_reached + jnp.where(active, 1, 0)
+
+            done = jnp.logical_or(
+                done,
+                jnp.logical_or(~subtree_ok,
+                               jnp.logical_and(merge, turned)))
+
+        accept_prob = sum_alpha / jnp.maximum(n_alpha, 1.0)
+        info = _NutsInfo(accept_prob=accept_prob,
+                         is_divergent=divergent,
+                         depth=depth_reached,
+                         num_grads=num_grads)
+        return cand_z, info
+
+    return one_step
+
+
+def run_nuts(potential_fn: Callable,
+             init_positions,      # (C, D)
+             key,
+             *,
+             num_warmup: int = 1000,
+             num_samples: int = 1000,
+             max_tree_depth: int = 8,
+             target_accept: float = 0.8,
+             init_step_size: float = 0.1,
+             adapt_mass: bool = True,
+             inv_mass_diag=None,
+             collect_fn: Optional[Callable] = None):
+    """Warmup + sampling in one jitted program (same driver structure as
+    run_hmc; NUTS-standard target acceptance 0.8)."""
+    C, D = init_positions.shape
+    dtype = init_positions.dtype
+    kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth),
+                    in_axes=(0, 0, 0, 0))
+
+    if inv_mass_diag is None:
+        inv_mass0 = jnp.ones((C, D), dtype)
+    else:
+        inv_mass0 = jnp.broadcast_to(jnp.asarray(inv_mass_diag, dtype),
+                                     (C, D))
+
+    da0 = H.da_init(jnp.full((C,), init_step_size, dtype))
+    wf0 = H.WelfordState(jnp.zeros((C, D), dtype),
+                         jnp.zeros((C, D), dtype), jnp.zeros((C,), dtype))
+    is_slow, is_end = H.warmup_schedule(num_warmup)
+    is_slow, is_end = jnp.asarray(is_slow), jnp.asarray(is_end)
+
+    def warm_step(carry, xs):
+        z, da, wf, inv_mass = carry
+        key, slow, end = xs
+        keys = jax.random.split(key, C)
+        z, info = kern(z, keys, jnp.exp(da.log_eps), inv_mass)
+        da = H.da_update(da, info.accept_prob, target_accept)
+        if adapt_mass:
+            wf_new = jax.vmap(H.welford_update)(wf, z)
+            wf = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)), b, a),
+                wf, wf_new)
+            var = jax.vmap(H.welford_variance)(wf)
+            inv_mass = jnp.where(end, var, inv_mass)
+            wf = jax.tree.map(
+                lambda a, zz: jnp.where(end, zz, a), wf,
+                H.WelfordState(jnp.zeros_like(wf.mean),
+                               jnp.zeros_like(wf.m2),
+                               jnp.zeros_like(wf.count)))
+            da = jax.tree.map(lambda a, b: jnp.where(end, b, a), da,
+                              H.da_init(jnp.exp(da.log_eps)))
+        return (z, da, wf, inv_mass), info.accept_prob
+
+    key, kw, ks = jax.random.split(key, 3)
+    z0 = init_positions
+    if num_warmup > 0:
+        (z0, da0, _, inv_mass0), _ = jax.lax.scan(
+            warm_step, (z0, da0, wf0, inv_mass0),
+            (jax.random.split(kw, num_warmup), is_slow, is_end))
+        step_final = jnp.exp(da0.log_eps_bar)
+    else:
+        step_final = jnp.full((C,), init_step_size, dtype)
+
+    if collect_fn is None:
+        collect_fn = lambda z: z  # noqa: E731
+
+    def sample_step(z, key):
+        keys = jax.random.split(key, C)
+        z, info = kern(z, keys, step_final, inv_mass0)
+        return z, (jax.vmap(collect_fn)(z), info.accept_prob,
+                   info.is_divergent, info.depth, info.num_grads)
+
+    z_final, (samples, acc, div, depth, grads) = jax.lax.scan(
+        sample_step, z0, jax.random.split(ks, num_samples))
+
+    stats = {
+        "step_size": step_final,
+        "inv_mass_diag": inv_mass0,
+        "accept_prob": acc,
+        "divergences": div,
+        "tree_depth": depth,
+        "num_grad_evals_per_sample": jnp.mean(grads),
+        "final_position": z_final,
+    }
+    return samples, stats

@@ -1,0 +1,186 @@
+"""Experiment pipelines: the (method × inference) dispatch of the
+reference's `main.py` (SURVEY.md §3.1 "Experiment driver", §4).
+
+`run_experiment(spec, method=..., inference=...)` reproduces the
+reference CLI vocabulary:
+
+    method    ∈ {cp, ncp, cvip, dvip, interleaved}
+    inference ∈ {hmc, nuts, vi}
+
+The cVIP/dVIP pipelines are the reference's headline flow (SURVEY.md
+§4.2): VI phase learns (q*, λ*), then HMC runs on the λ*-parameterised
+model with chains initialised from q* and per-variable scaling from the
+q* stddevs (as the diagonal inverse mass).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.interpreters import get_model_info, make_potential_fn
+from ..models.zoo import ModelSpec
+from ..reparam import make_ncp_model, make_vip_model
+from ..reparam.handler import eligible_sites, recover_fn
+from . import diagnostics as dg
+from . import hmc as H
+from .interleaved import run_interleaved_hmc
+from .vi import VIResult, discretize_lambda, fit_vi
+
+__all__ = ["ExperimentResult", "run_experiment", "METHODS", "INFERENCES"]
+
+METHODS = ("cp", "ncp", "cvip", "dvip", "interleaved")
+INFERENCES = ("hmc", "nuts", "vi")
+
+
+class ExperimentResult(NamedTuple):
+    samples: Optional[jnp.ndarray]    # (S, C, D) unconstrained, or None (vi)
+    stats: dict
+    summary: dict                     # per-dim mean/std/ess/rhat (+ meta)
+    vi: Optional[VIResult]
+    lam: Optional[dict]               # learned λ (cvip/dvip)
+    info: object                      # ModelInfo of the sampled model
+    model: Callable                   # the (reparameterised) model sampled
+
+
+def _init_chains(key, num_chains, dim, scale=0.5, loc=None, q_scale=None):
+    eps = jax.random.normal(key, (num_chains, dim))
+    if loc is not None:
+        return loc + q_scale * eps
+    return scale * eps
+
+
+def run_experiment(spec: ModelSpec,
+                   method: str = "cp",
+                   inference: str = "hmc",
+                   *,
+                   num_chains: int = 128,
+                   num_warmup: int = 1000,
+                   num_samples: int = 1000,
+                   num_leapfrog_steps: int = 16,
+                   num_optimization_steps: int = 3000,
+                   num_mc_samples: int = 8,
+                   learning_rate: float = 0.02,
+                   target_accept: float = 0.75,
+                   max_tree_depth: int = 8,
+                   seed: int = 0,
+                   collect_constrained: bool = False) -> ExperimentResult:
+    """Run one (model × method × inference) experiment end to end."""
+    if method not in METHODS:
+        raise ValueError(f"method {method!r} not in {METHODS}")
+    if inference not in INFERENCES:
+        raise ValueError(f"inference {inference!r} not in {INFERENCES}")
+
+    key = jax.random.PRNGKey(seed)
+    k_vi, k_init, k_run = jax.random.split(key, 3)
+    model, args, kwargs = spec.model, spec.args, spec.kwargs
+
+    vi_res = None
+    lam = None
+    grad_multiplier = 1.0
+
+    # ---- build the sampled model per method --------------------------
+    if method == "cp":
+        sampled_model = model
+    elif method == "ncp":
+        sampled_model = make_ncp_model(model, model_args=args,
+                                       model_kwargs=kwargs)
+    elif method in ("cvip", "dvip"):
+        sites = tuple(eligible_sites(model, args, kwargs))
+        vi_res = fit_vi(model, args, kwargs, vip_sites=sites,
+                        num_steps=num_optimization_steps,
+                        num_mc_samples=num_mc_samples,
+                        learning_rate=learning_rate, key=k_vi)
+        lam = vi_res.lam
+        if method == "dvip":
+            lam = discretize_lambda(lam)
+        sampled_model = make_vip_model(model, lam)
+    elif method == "interleaved":
+        sampled_model = model  # iHMC runs its own dual systems
+
+    info = get_model_info(sampled_model, args, kwargs)
+
+    # ---- VI-only inference -------------------------------------------
+    if inference == "vi":
+        if vi_res is None:
+            vi_res = fit_vi(sampled_model, args, kwargs,
+                            num_steps=num_optimization_steps,
+                            num_mc_samples=num_mc_samples,
+                            learning_rate=learning_rate, key=k_vi)
+        summary = {
+            "elbo": float(np.asarray(vi_res.elbo_trace)[-100:].mean()),
+            "method": method, "inference": "vi", "model": spec.name,
+        }
+        return ExperimentResult(None, {}, summary, vi_res, lam, info,
+                                sampled_model)
+
+    # ---- MCMC --------------------------------------------------------
+    cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
+                      num_leapfrog_steps=num_leapfrog_steps,
+                      target_accept=target_accept)
+
+    inv_mass = None
+    if vi_res is not None and method in ("cvip", "dvip"):
+        # chains start at q* draws; per-variable scaling from q* stddevs
+        # (reference: init_state ~ q*, step sizes ∝ s*; SURVEY.md §4.2)
+        init = _init_chains(k_init, num_chains, info.dim,
+                            loc=vi_res.loc, q_scale=vi_res.scale)
+        inv_mass = vi_res.scale ** 2
+    else:
+        init = _init_chains(k_init, num_chains, info.dim)
+
+    t0 = time.perf_counter()
+    if method == "interleaved":
+        samples, stats = run_interleaved_hmc(
+            model, init, k_run, cfg, model_args=args, model_kwargs=kwargs)
+        grad_multiplier = 2.0
+    elif inference == "nuts":
+        from .nuts import run_nuts  # local import: heavy module
+        samples, stats = run_nuts(
+            make_potential_fn(sampled_model, info, args, kwargs),
+            init, k_run,
+            num_warmup=num_warmup, num_samples=num_samples,
+            max_tree_depth=max_tree_depth, target_accept=target_accept,
+            inv_mass_diag=inv_mass)
+    else:
+        pot = make_potential_fn(sampled_model, info, args, kwargs)
+        samples, stats = H.run_hmc(pot, init, k_run, cfg,
+                                   inv_mass_diag=inv_mass)
+    jax.block_until_ready(samples)
+    wall = time.perf_counter() - t0
+
+    summ = dg.summarize(samples)
+    ess = summ["ess"]
+    if method == "interleaved":
+        # stats already counts both kernels (2L per outer sample)
+        grads_per_sample = num_leapfrog_steps
+    else:
+        grads_per_sample = float(np.asarray(
+            stats["num_grad_evals_per_sample"]))
+    epg = dg.ess_per_grad(ess, num_samples, grads_per_sample,
+                          grad_multiplier=grad_multiplier)
+    summary = {
+        "model": spec.name, "method": method, "inference": inference,
+        "mean": np.asarray(summ["mean"]),
+        "std": np.asarray(summ["std"]),
+        "ess": np.asarray(ess),
+        "rhat": np.asarray(summ["rhat"]),
+        "ess_min": float(np.asarray(ess).min()),
+        "ess_mean": float(np.asarray(ess).mean()),
+        "ess_per_grad_min": float(np.asarray(epg).min()),
+        "ess_per_grad_mean": float(np.asarray(epg).mean()),
+        "rhat_max": float(np.asarray(summ["rhat"]).max()),
+        "wall_time_s": wall,
+        "ess_per_sec_min": float(np.asarray(ess).min() / wall),
+        "num_chains": num_chains,
+        "num_samples": num_samples,
+        "latent_names": list(info.names),
+    }
+    if lam is not None:
+        summary["lambda"] = {k: np.asarray(v) for k, v in lam.items()}
+    return ExperimentResult(samples, stats, summary, vi_res, lam, info,
+                            sampled_model)

@@ -1,0 +1,274 @@
+"""Model zoo: the reference's benchmark models as effect-handler programs.
+
+Rebuild of `models.py` in the reference (SURVEY.md §3.1 "Model zoo"):
+eight_schools, Neal's funnel, radon (multi-state), german_credit (both
+variants), election88, electric company.  Each entry returns a
+`ModelSpec`: the generative program, its arguments (data baked in),
+and human-readable metadata.
+
+Data: eight_schools uses the canonical Rubin (1981) numbers; the funnel
+is analytic.  The larger datasets (radon, german_credit, election88,
+electric) are generated offline stand-ins with the real datasets' shapes
+and generative structure (see models/data/generate.py) because this
+environment has no network access and the reference mount is empty — the
+statistical *geometry* (hierarchy, funnels, per-group effects) is what
+the benchmarks exercise, and that is preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dists as d
+from ..core.messenger import sample
+from . import data as data_lib
+
+__all__ = ["ModelSpec", "get_model", "MODEL_REGISTRY", "register"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    model: Callable
+    args: tuple
+    kwargs: dict
+    description: str
+    # names of observed-data sites, for reference
+    observed: Tuple[str, ...] = ()
+
+
+MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {}
+
+
+def register(name):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_model(name: str, dataset: Optional[str] = None) -> ModelSpec:
+    """Reference-parity entry point (`models.get_model`-style dispatcher,
+    SURVEY.md §3.1 [M])."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](dataset) if dataset is not None else (
+        MODEL_REGISTRY[name]())
+
+
+# ---------------------------------------------------------------------------
+# eight_schools (Rubin 1981; BASELINE config #1)
+# ---------------------------------------------------------------------------
+
+EIGHT_SCHOOLS_Y = np.array([28., 8., -3., 7., -1., 1., 18., 12.],
+                           dtype=np.float32)
+EIGHT_SCHOOLS_SIGMA = np.array([15., 10., 16., 11., 9., 11., 10., 18.],
+                               dtype=np.float32)
+
+
+def eight_schools_model(y, sigma):
+    mu = sample("mu", d.Normal(0.0, 5.0))
+    log_tau = sample("log_tau", d.Normal(0.0, 5.0))
+    theta = sample("theta", d.Normal(mu, jnp.exp(log_tau)),
+                   sample_shape=(8,))
+    sample("y", d.Normal(theta, sigma), obs=y)
+
+
+@register("eight_schools")
+def _eight_schools(dataset=None) -> ModelSpec:
+    return ModelSpec(
+        name="eight_schools",
+        model=eight_schools_model,
+        args=(jnp.asarray(EIGHT_SCHOOLS_Y), jnp.asarray(EIGHT_SCHOOLS_SIGMA)),
+        kwargs={},
+        description="Rubin (1981) eight schools; centered hierarchy with "
+                    "log-scale tau prior (the reference's parameterisation "
+                    "family: mu, log_tau ~ N(0,5)).",
+        observed=("y",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neal's funnel (didactic example; BASELINE config #2)
+# ---------------------------------------------------------------------------
+
+def neals_funnel_model(dim: int = 9):
+    v = sample("v", d.Normal(0.0, 3.0))
+    sample("x", d.Normal(0.0, jnp.exp(v / 2.0)), sample_shape=(dim,))
+
+
+@register("neals_funnel")
+def _neals_funnel(dataset=None) -> ModelSpec:
+    dim = int(dataset) if dataset else 9
+    return ModelSpec(
+        name="neals_funnel",
+        model=neals_funnel_model,
+        args=(dim,),
+        kwargs={},
+        description=f"Neal (2003) funnel, {dim}+1 dims; analytic: "
+                    "v~N(0,3), x_i|v~N(0, e^{v/2}). No data.",
+        observed=(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# radon — hierarchical linear model with county effects
+# (Gelman & Hill ch. 12; BASELINE config #3 uses the Minnesota subset)
+# ---------------------------------------------------------------------------
+
+def radon_model(county_idx, floor_x, log_uranium, y, n_counties):
+    """Varying-intercept + varying-slope radon model, the reference's
+    "radon" family (SURVEY.md §3.1): county intercepts shrink toward a
+    state-level regression on soil uranium."""
+    mua = sample("mua", d.Normal(0.0, 1.0))
+    b_uranium = sample("b", d.Normal(0.0, 1.0))
+    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
+    a = sample("a", d.Normal(mua + b_uranium * log_uranium, sigma_a))
+    b_floor = sample("b_floor", d.Normal(0.0, 1.0))
+    sigma_y = sample("sigma_y", d.HalfCauchy(1.0))
+    mu_y = a[county_idx] + b_floor * floor_x
+    sample("y", d.Normal(mu_y, sigma_y), obs=y)
+
+
+@register("radon")
+def _radon(dataset="MN") -> ModelSpec:
+    ds = data_lib.load_radon(dataset)
+    return ModelSpec(
+        name=f"radon_{dataset}",
+        model=radon_model,
+        args=(jnp.asarray(ds["county_idx"]), jnp.asarray(ds["floor"]),
+              jnp.asarray(ds["log_uranium"]), jnp.asarray(ds["log_radon"]),
+              int(ds["n_counties"])),
+        kwargs={},
+        description=f"Hierarchical radon model, state={dataset}: "
+                    f"{len(ds['log_radon'])} homes, {ds['n_counties']} "
+                    "counties; varying intercepts w/ uranium predictor.",
+        observed=("y",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# german_credit — two variants (BASELINE config #4 uses lognormalcentered)
+# ---------------------------------------------------------------------------
+
+def german_credit_lognormalcentered_model(x, y):
+    """Sparse logistic regression with per-feature LogNormal scales —
+    the reference's `german_credit_lognormalcentered` [H]
+    (SURVEY.md §1): hierarchical shrinkage where the *centered* LogNormal
+    scale parameterisation is the pathology NCP/iHMC fixes."""
+    n_features = x.shape[1]
+    tau = sample("overall_scale", d.LogNormal(0.0, 10.0))
+    lam = sample("local_scales", d.LogNormal(0.0, 10.0),
+                 sample_shape=(n_features,))
+    beta = sample("beta", d.Normal(0.0, 1.0), sample_shape=(n_features,))
+    logits = x @ (beta * lam * tau)
+    sample("y", d.Bernoulli(logits), obs=y)
+
+
+def german_credit_gammascale_model(x, y):
+    """Variant with Gamma-distributed precisions (the reference's
+    `german_credit_gammascale` [M])."""
+    n_features = x.shape[1]
+    tau = sample("overall_prec", d.Gamma(0.5, 0.5))
+    lam = sample("local_prec", d.Gamma(0.5, 0.5),
+                 sample_shape=(n_features,))
+    beta = sample("beta", d.Normal(0.0, 1.0), sample_shape=(n_features,))
+    logits = x @ (beta / jnp.sqrt(lam * tau))
+    sample("y", d.Bernoulli(logits), obs=y)
+
+
+@register("german_credit_lognormalcentered")
+def _gc_ln(dataset=None) -> ModelSpec:
+    ds = data_lib.load_german_credit()
+    return ModelSpec(
+        name="german_credit_lognormalcentered",
+        model=german_credit_lognormalcentered_model,
+        args=(jnp.asarray(ds["x"]), jnp.asarray(ds["y"])),
+        kwargs={},
+        description="Sparse logistic regression, 1000×24 standardized "
+                    "features, centered LogNormal local/global scales.",
+        observed=("y",),
+    )
+
+
+@register("german_credit_gammascale")
+def _gc_gs(dataset=None) -> ModelSpec:
+    ds = data_lib.load_german_credit()
+    return ModelSpec(
+        name="german_credit_gammascale",
+        model=german_credit_gammascale_model,
+        args=(jnp.asarray(ds["x"]), jnp.asarray(ds["y"])),
+        kwargs={},
+        description="Sparse logistic regression with Gamma precisions.",
+        observed=("y",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# election88 — hierarchical logistic regression (BASELINE config #5)
+# ---------------------------------------------------------------------------
+
+def election88_model(state_idx, female, black, y, n_states):
+    """Gelman & Hill ch. 14 pre-election polling: P(Bush support) with
+    demographic fixed effects + state random intercepts."""
+    mua = sample("mua", d.Normal(0.0, 1.0))
+    b_female = sample("b_female", d.Normal(0.0, 1.0))
+    b_black = sample("b_black", d.Normal(0.0, 1.0))
+    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
+    a = sample("a", d.Normal(mua, sigma_a), sample_shape=(n_states,))
+    logits = a[state_idx] + b_female * female + b_black * black
+    sample("y", d.Bernoulli(logits), obs=y)
+
+
+@register("election88")
+def _election88(dataset=None) -> ModelSpec:
+    ds = data_lib.load_election88()
+    return ModelSpec(
+        name="election88",
+        model=election88_model,
+        args=(jnp.asarray(ds["state_idx"]), jnp.asarray(ds["female"]),
+              jnp.asarray(ds["black"]), jnp.asarray(ds["y"]),
+              int(ds["n_states"])),
+        kwargs={},
+        description=f"1988 CBS election polls: {len(ds['y'])} respondents, "
+                    f"{ds['n_states']} states; hierarchical logistic "
+                    "regression.",
+        observed=("y",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# electric company — paired-schools educational TV experiment
+# ---------------------------------------------------------------------------
+
+def electric_model(grade_pair_idx, treatment, y, n_pairs):
+    """Gelman & Hill electric-company experiment: pair-level intercepts,
+    common treatment effect (reference inclusion is [M], SURVEY.md §1)."""
+    mua = sample("mua", d.Normal(0.0, 1.0))
+    b_treat = sample("b_treat", d.Normal(0.0, 1.0))
+    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
+    a = sample("a", d.Normal(100.0 * mua, sigma_a),
+               sample_shape=(n_pairs,))
+    sigma_y = sample("sigma_y", d.HalfCauchy(1.0))
+    mu_y = a[grade_pair_idx] + b_treat * treatment
+    sample("y", d.Normal(mu_y, sigma_y), obs=y)
+
+
+@register("electric")
+def _electric(dataset=None) -> ModelSpec:
+    ds = data_lib.load_electric()
+    return ModelSpec(
+        name="electric",
+        model=electric_model,
+        args=(jnp.asarray(ds["pair_idx"]), jnp.asarray(ds["treatment"]),
+              jnp.asarray(ds["y"]), int(ds["n_pairs"])),
+        kwargs={},
+        description="Electric-company paired experiment: pair intercepts "
+                    "+ treatment effect.",
+        observed=("y",),
+    )

@@ -1,0 +1,119 @@
+"""Reparameterisation strategies: CP, NCP, VIP (cVIP/dVIP).
+
+TPU-native rebuild of the reference's core contribution
+(`program_transformations.py` → `make_learnable_parametrisation` and the
+NCP interceptor; SURVEY.md §3.1 "Reparameterisation transforms", §4.2).
+A strategy rewrites one latent site
+
+    z ~ F(loc, scale)          (location-scale family, e.g. Normal)
+
+into an auxiliary latent plus a deterministic map:
+
+    CP  (λ=1):  identity — the site is untouched.
+    NCP (λ=0):  ẑ ~ F(0, 1);            z = loc + scale·ẑ
+    VIP (λ):    ẑ ~ F(λ·loc, scale^λ);  z = loc + scale^(1−λ)·(ẑ − λ·loc)
+
+λ ∈ [0,1] elementwise per variable (paper eq. for VIP; λ=1 ⇒ CP, λ=0 ⇒
+NCP — verified algebraically and by tests/test_reparam.py).  No Jacobian
+terms appear because the rewrite *redefines which variable is latent*:
+the joint density is taken directly over ẑ.
+
+LogNormal sites are reparameterised in log-space through their base
+normal (`exp(affine(ẑ))`), which is exactly the structure of the
+reference's `german_credit_lognormalcentered` model (BASELINE config #4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from .. import dists as d
+from ..core.messenger import sample
+
+__all__ = ["ReparamStrategy", "CP", "NCP", "VIP", "AUX_SUFFIX",
+           "is_eligible", "aux_name"]
+
+#: Suffix appended to the original site name for the auxiliary latent.
+AUX_SUFFIX = "::base"
+
+
+def aux_name(name: str) -> str:
+    return name + AUX_SUFFIX
+
+
+def is_eligible(dist) -> bool:
+    """A site can be CP/NCP/VIP-rewritten if it is an elementwise
+    location-scale family, directly or through a log transform."""
+    return (getattr(dist, "loc_scale", lambda: None)() is not None
+            or hasattr(dist, "base_loc_scale"))
+
+
+def _split_loc_scale(dist):
+    """Return (loc, scale, base_factory, push_forward).
+
+    base_factory(new_loc, new_scale) builds the aux distribution;
+    push_forward(x) maps the reassembled location-scale value into the
+    site's support (identity, or exp for LogNormal-style sites).
+    """
+    ls = dist.loc_scale()
+    if ls is not None:
+        return ls[0], ls[1], dist.with_loc_scale, lambda x: x
+    if hasattr(dist, "base_loc_scale"):
+        loc, scale = dist.base_loc_scale()
+        return loc, scale, d.Normal, jnp.exp
+    raise ValueError(f"site distribution {dist!r} is not reparameterisable")
+
+
+class ReparamStrategy:
+    """Rewrites one sample-site message. Returns the model-space value."""
+
+    def apply(self, name: str, dist, sample_shape) -> Any:
+        raise NotImplementedError
+
+
+class CP(ReparamStrategy):
+    """Centered parameterisation — identity (reference: the model as
+    written; SURVEY.md §1 item 2)."""
+
+    def apply(self, name, dist, sample_shape):
+        return None  # signal "leave the site untouched"
+
+
+class NCP(ReparamStrategy):
+    """Non-centered: ẑ ~ F(0,1), z = loc + scale·ẑ."""
+
+    def apply(self, name, dist, sample_shape):
+        loc, scale, base, push = _split_loc_scale(dist)
+        shape = jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
+        aux = sample(aux_name(name),
+                     base(jnp.zeros(shape), jnp.ones(shape)),
+                     sample_shape=sample_shape,
+                     _metadata={"aux_of": name, "strategy": "ncp"})
+        return push(loc + scale * aux)
+
+
+class VIP(ReparamStrategy):
+    """Variationally-inferred parameterisation with fixed λ values.
+
+    λ is an array broadcastable to the site's shape (elementwise λ, the
+    paper's per-variable λ; pass a scalar for a tied λ per site).  During
+    VI the λ passed here is an optimizer-traced array, so the resulting
+    ELBO is differentiable w.r.t. λ; during HMC it is a constant.
+    """
+
+    def __init__(self, lam):
+        self.lam = lam
+
+    def apply(self, name, dist, sample_shape):
+        lam = self.lam
+        loc, scale, base, push = _split_loc_scale(dist)
+        # σ^λ via exp(λ·logσ): stable for σ>0, one log per site.
+        log_scale = jnp.log(scale)
+        aux = sample(aux_name(name),
+                     base(lam * loc, jnp.exp(lam * log_scale)),
+                     sample_shape=sample_shape,
+                     _metadata={"aux_of": name, "strategy": "vip"})
+        z = loc + jnp.exp((1.0 - lam) * log_scale) * (aux - lam * loc)
+        return push(z)

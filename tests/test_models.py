@@ -1,0 +1,61 @@
+"""Model zoo smoke tests: every model traces, has a finite differentiable
+potential, and the registry dispatches (SURVEY.md §3.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autoreparam_tpu.core import get_model_info, make_potential_fn
+from autoreparam_tpu.models import MODEL_REGISTRY, get_model
+from autoreparam_tpu.reparam import eligible_sites
+
+ALL_MODELS = sorted(MODEL_REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_model_potential_finite_and_differentiable(name):
+    spec = get_model(name)
+    info = get_model_info(spec.model, spec.args, spec.kwargs)
+    assert info.dim > 0
+    pot = make_potential_fn(spec.model, info, spec.args, spec.kwargs)
+    z = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (info.dim,))
+    u, g = jax.value_and_grad(pot)(z)
+    assert np.isfinite(float(u))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_registry_dims():
+    assert get_model("eight_schools").args[0].shape == (8,)
+    info = get_model_info(*(lambda s: (s.model, s.args))(
+        get_model("eight_schools")))
+    assert info.dim == 10  # mu, log_tau, theta(8)
+    spec = get_model("radon", "MN")
+    assert spec.args[0].shape[0] == 919
+    info = get_model_info(spec.model, spec.args)
+    assert info.dim == 85 + 5  # a(85) + mua, b, sigma_a, b_floor, sigma_y
+    spec = get_model("election88")
+    info = get_model_info(spec.model, spec.args)
+    assert info.dim == 51 + 4
+
+
+def test_radon_states_distinct():
+    mn = get_model("radon", "MN")
+    nd = get_model("radon", "ND")
+    assert mn.args[0].shape[0] == 919
+    assert nd.args[0].shape[0] == 431
+
+
+def test_eligible_sites_on_zoo():
+    spec = get_model("eight_schools")
+    el = eligible_sites(spec.model, spec.args)
+    assert "theta" in el
+    spec = get_model("german_credit_lognormalcentered")
+    el = eligible_sites(spec.model, spec.args)
+    # LogNormal scales are eligible via log-space reparam
+    assert "overall_scale" in el and "local_scales" in el
+
+
+def test_unknown_model_raises():
+    with pytest.raises(KeyError):
+        get_model("not_a_model")

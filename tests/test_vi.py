@@ -1,0 +1,73 @@
+"""VI engine: conjugate-posterior recovery, λ learning (SURVEY.md §5).
+
+The λ-learning checks mirror the paper's qualitative result: weak data
+⇒ NCP optimal (λ→0); strong data ⇒ CP optimal (λ→1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoreparam_tpu import dists as d
+from autoreparam_tpu.core import sample
+from autoreparam_tpu.inference.vi import (discretize_lambda, fit_vi,
+                                          fit_vip_vi)
+
+
+def test_conjugate_normal_posterior():
+    """x ~ N(0, 2); y_i ~ N(x, 1), 4 obs → analytic posterior."""
+    y = jnp.asarray([1.0, 0.5, 1.5, 1.0])
+
+    def m(y):
+        x = sample("x", d.Normal(0.0, 2.0))
+        sample("y", d.Normal(x, 1.0), obs=y)
+
+    prec = 1 / 4.0 + 4.0
+    post_var = 1 / prec
+    post_mean = post_var * float(y.sum())
+    res = fit_vi(m, (y,), num_steps=2000, num_mc_samples=8,
+                 learning_rate=0.05, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(res.loc[0]), post_mean, atol=0.1)
+    np.testing.assert_allclose(float(res.scale[0]), np.sqrt(post_var),
+                               rtol=0.25)
+    # ELBO increased
+    e = np.asarray(res.elbo_trace)
+    assert e[-100:].mean() > e[:100].mean()
+
+
+def test_lambda_goes_to_ncp_with_no_data():
+    """Funnel (no data): NCP (λ=0) makes the posterior a product of
+    independent Gaussians, exactly representable by mean-field q — the
+    optimal λ is 0."""
+
+    def funnel():
+        v = sample("v", d.Normal(0.0, 3.0))
+        sample("x", d.Normal(0.0, jnp.exp(v / 2.0)), sample_shape=(4,))
+
+    res = fit_vip_vi(funnel, num_steps=3000, num_mc_samples=8,
+                     learning_rate=0.05, key=jax.random.PRNGKey(1))
+    lam_x = np.asarray(res.lam["x"])
+    assert lam_x.mean() < 0.25, lam_x
+
+
+def test_lambda_goes_to_cp_with_strong_data():
+    """Strongly-identified latent: CP (λ=1) decorrelates the posterior."""
+
+    def m(y):
+        mu = sample("mu", d.Normal(0.0, 3.0))
+        z = sample("z", d.Normal(mu, 1.0), sample_shape=(4,))
+        sample("y", d.Normal(z, 0.05), obs=y)
+
+    y = jnp.asarray([1.0, -0.5, 0.8, 0.2])
+    res = fit_vi(m, (y,), vip_sites=("z",), num_steps=3000,
+                 num_mc_samples=8, learning_rate=0.05,
+                 key=jax.random.PRNGKey(2))
+    lam_z = np.asarray(res.lam["z"])
+    assert lam_z.mean() > 0.75, lam_z
+
+
+def test_discretize_lambda():
+    lam = {"a": jnp.asarray([0.1, 0.7, 0.5]), "b": jnp.asarray(0.9)}
+    dl = discretize_lambda(lam)
+    np.testing.assert_array_equal(np.asarray(dl["a"]), [0.0, 1.0, 0.0])
+    assert float(dl["b"]) == 1.0
