@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["autocovariance", "effective_sample_size",
+__all__ = ["autocovariance", "effective_sample_size", "ess_from_moments",
            "potential_scale_reduction", "ess_per_grad", "summarize"]
 
 
@@ -56,6 +56,33 @@ def potential_scale_reduction(samples):
     return jnp.sqrt(var_hat / W)
 
 
+def ess_from_moments(mean_acov, W, B_over_n, S: int, C: int):
+    """ESS from pooled moments: `mean_acov` (S, ...) is the cross-chain
+    mean autocovariance, `W` the mean within-chain variance, `B_over_n`
+    the variance of chain means.  Factored out so the sharded path can
+    psum these moments over the device mesh (parallel/) and reuse the
+    same Geyer truncation."""
+    dtype = mean_acov.dtype
+    var_hat = (S - 1.0) / S * W + B_over_n
+    rho = 1.0 - (W - mean_acov) / var_hat             # (S, ...)
+    # Geyer pairs P_k = rho_{2k} + rho_{2k+1}; drop the last odd lag.
+    T = (S // 2) * 2
+    pairs = rho[0:T:2] + rho[1:T:2]                   # (T/2, ...)
+    # initial positive sequence: zero after the first non-positive pair
+    positive = pairs > 0.0
+    keep = jnp.cumprod(positive.astype(dtype), axis=0)
+    # keep P_0 always (it includes rho_0 = 1)
+    keep = keep.at[0].set(1.0)
+    # initial monotone sequence: running minimum over kept pairs
+    mono = jax.lax.associative_scan(jnp.minimum, jnp.where(
+        keep > 0, pairs, jnp.inf), axis=0)
+    contrib = jnp.where(keep > 0, jnp.maximum(mono, 0.0), 0.0)
+    tau = -1.0 + 2.0 * jnp.sum(contrib, axis=0)
+    tau = jnp.maximum(tau, 1.0 / jnp.asarray(S * C, dtype))
+    ess = S * C / tau
+    return jnp.minimum(ess, jnp.asarray(S * C, dtype) * 1.0)
+
+
 def effective_sample_size(samples):
     """Cross-chain ESS (Vehtari/Stan). `samples`: (S, C, ...) -> (...)."""
     S, C = samples.shape[0], samples.shape[1]
@@ -68,24 +95,7 @@ def effective_sample_size(samples):
         B_over_n = jnp.var(chain_mean, axis=0, ddof=1)
     else:
         B_over_n = jnp.zeros_like(W)
-    var_hat = (S - 1.0) / S * W + B_over_n
-    rho = 1.0 - (W - mean_acov) / var_hat             # (S, ...)
-    # Geyer pairs P_k = rho_{2k} + rho_{2k+1}; drop the last odd lag.
-    T = (S // 2) * 2
-    pairs = rho[0:T:2] + rho[1:T:2]                   # (T/2, ...)
-    # initial positive sequence: zero after the first non-positive pair
-    positive = pairs > 0.0
-    keep = jnp.cumprod(positive.astype(samples.dtype), axis=0)
-    # keep P_0 always (it includes rho_0 = 1)
-    keep = keep.at[0].set(1.0)
-    # initial monotone sequence: running minimum over kept pairs
-    mono = jax.lax.associative_scan(jnp.minimum, jnp.where(
-        keep > 0, pairs, jnp.inf), axis=0)
-    contrib = jnp.where(keep > 0, jnp.maximum(mono, 0.0), 0.0)
-    tau = -1.0 + 2.0 * jnp.sum(contrib, axis=0)
-    tau = jnp.maximum(tau, 1.0 / jnp.asarray(S * C, samples.dtype))
-    ess = S * C / tau
-    return jnp.minimum(ess, jnp.asarray(S * C, samples.dtype) * 1.0)
+    return ess_from_moments(mean_acov, W, B_over_n, S, C)
 
 
 def ess_per_grad(ess, num_samples: int, num_leapfrog_steps: int,

@@ -68,7 +68,7 @@ def run_experiment(spec: ModelSpec,
                    target_accept: float = 0.75,
                    max_tree_depth: int = 8,
                    seed: int = 0,
-                   collect_constrained: bool = False) -> ExperimentResult:
+                   collect_constrained: bool = True) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end."""
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
@@ -133,10 +133,18 @@ def run_experiment(spec: ModelSpec,
     else:
         init = _init_chains(k_init, num_chains, info.dim)
 
+    # Collect samples in *model space* by default (the user's variables,
+    # with reparameterised sites mapped back through their deterministic
+    # transforms) rather than raw unconstrained aux coordinates.
+    collect = None
+    if collect_constrained:
+        collect = recover_fn(sampled_model, info, args, kwargs)
+
     t0 = time.perf_counter()
     if method == "interleaved":
         samples, stats = run_interleaved_hmc(
-            model, init, k_run, cfg, model_args=args, model_kwargs=kwargs)
+            model, init, k_run, cfg, model_args=args, model_kwargs=kwargs,
+            collect_fn=collect)
         grad_multiplier = 2.0
     elif inference == "nuts":
         from .nuts import run_nuts  # local import: heavy module
@@ -145,15 +153,35 @@ def run_experiment(spec: ModelSpec,
             init, k_run,
             num_warmup=num_warmup, num_samples=num_samples,
             max_tree_depth=max_tree_depth, target_accept=target_accept,
-            inv_mass_diag=inv_mass)
+            inv_mass_diag=inv_mass, collect_fn=collect)
     else:
         pot = make_potential_fn(sampled_model, info, args, kwargs)
         samples, stats = H.run_hmc(pot, init, k_run, cfg,
-                                   inv_mass_diag=inv_mass)
+                                   inv_mass_diag=inv_mass,
+                                   collect_fn=collect)
     jax.block_until_ready(samples)
     wall = time.perf_counter() - t0
 
-    summ = dg.summarize(samples)
+    # Flatten dict-of-sites samples to one (S, C, Dtot) array + names.
+    if isinstance(samples, dict):
+        S_, C_ = next(iter(samples.values())).shape[:2]
+        parts, names = [], []
+        for name, v in samples.items():
+            flatv = v.reshape(S_, C_, -1)
+            parts.append(flatv)
+            n = flatv.shape[-1]
+            names.extend([name] if n == 1 else
+                         [f"{name}[{i}]" for i in range(n)])
+        sample_array = jnp.concatenate(parts, axis=-1)
+    else:
+        sample_array = samples
+        names = []
+        for spec_l in info.latents:
+            names.extend([spec_l.name] if spec_l.size == 1 else
+                         [f"{spec_l.name}[{i}]"
+                          for i in range(spec_l.size)])
+
+    summ = dg.summarize(sample_array)
     ess = summ["ess"]
     if method == "interleaved":
         # stats already counts both kernels (2L per outer sample)
@@ -178,6 +206,7 @@ def run_experiment(spec: ModelSpec,
         "ess_per_sec_min": float(np.asarray(ess).min() / wall),
         "num_chains": num_chains,
         "num_samples": num_samples,
+        "param_names": names,
         "latent_names": list(info.names),
     }
     if lam is not None:

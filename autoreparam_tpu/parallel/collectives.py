@@ -1,0 +1,102 @@
+"""Cross-chain collectives: pooled diagnostics over the device mesh.
+
+TPU-native replacement for what the reference never had (SURVEY.md §3.4):
+ESS and R-hat need cross-chain moments; when chains are sharded over the
+mesh these are computed per-device and combined with `psum` over ICI
+inside `shard_map` — samples never leave their device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..inference import diagnostics as dg
+from .mesh import CHAIN_AXIS
+
+__all__ = ["sharded_effective_sample_size",
+           "sharded_potential_scale_reduction",
+           "sharded_mean"]
+
+
+def sharded_effective_sample_size(samples, mesh: Mesh):
+    """Cross-chain ESS for (S, C, ...) samples sharded on the chain axis.
+
+    Per-device: local autocovariances and chain moments.  psum over ICI:
+    the pooled mean autocovariance, within-chain variance W, and chain-
+    mean moments.  Then the shared Geyer truncation (diagnostics.py).
+    """
+    S, C = samples.shape[0], samples.shape[1]
+    n_dev = mesh.shape[CHAIN_AXIS]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=P(None, CHAIN_AXIS),
+             out_specs=P())
+    def pooled_moments(block):  # (S, C/n, ...)
+        acov = dg.autocovariance(block, axis=0)
+        sum_acov = jnp.sum(acov, axis=1)                 # (S, ...)
+        chain_var = acov[0] * S / (S - 1.0)
+        sum_w = jnp.sum(chain_var, axis=0)
+        chain_mean = jnp.mean(block, axis=0)
+        sum_m = jnp.sum(chain_mean, axis=0)
+        sum_m2 = jnp.sum(chain_mean ** 2, axis=0)
+        # one psum per moment, all riding ICI
+        sum_acov = jax.lax.psum(sum_acov, CHAIN_AXIS)
+        sum_w = jax.lax.psum(sum_w, CHAIN_AXIS)
+        sum_m = jax.lax.psum(sum_m, CHAIN_AXIS)
+        sum_m2 = jax.lax.psum(sum_m2, CHAIN_AXIS)
+        return sum_acov, sum_w, sum_m, sum_m2
+
+    sum_acov, sum_w, sum_m, sum_m2 = pooled_moments(samples)
+    mean_acov = sum_acov / C
+    W = sum_w / C
+    if C > 1:
+        mean_m = sum_m / C
+        B_over_n = (sum_m2 - C * mean_m ** 2) / (C - 1.0)
+    else:
+        B_over_n = jnp.zeros_like(W)
+    return dg.ess_from_moments(mean_acov, W, B_over_n, S, C)
+
+
+def sharded_potential_scale_reduction(samples, mesh: Mesh):
+    """Split R-hat with chains sharded on axis 1 of (S, C, ...)."""
+    S, C = samples.shape[0], samples.shape[1]
+    half = S // 2
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=P(None, CHAIN_AXIS),
+             out_specs=P())
+    def pooled(block):
+        split = jnp.concatenate([block[:half], block[half:2 * half]],
+                                axis=1)                    # (half, 2C/n, ...)
+        cm = jnp.mean(split, axis=0)
+        cv = jnp.var(split, axis=0, ddof=1)
+        sums = (jnp.sum(cv, axis=0), jnp.sum(cm, axis=0),
+                jnp.sum(cm ** 2, axis=0))
+        return jax.tree.map(lambda x: jax.lax.psum(x, CHAIN_AXIS), sums)
+
+    sum_w, sum_m, sum_m2 = pooled(samples)
+    m = 2 * C  # split chains
+    W = sum_w / m
+    mean_m = sum_m / m
+    B = half * (sum_m2 - m * mean_m ** 2) / (m - 1.0)
+    var_hat = (half - 1.0) / half * W + B / half
+    return jnp.sqrt(var_hat / W)
+
+
+def sharded_mean(x, mesh: Mesh, chain_axis: int = 0):
+    """Mean over a sharded chain axis (pooled acceptance stats etc.)."""
+    spec = [None] * x.ndim
+    spec[chain_axis] = CHAIN_AXIS
+    n = x.shape[chain_axis]
+
+    @partial(shard_map, mesh=mesh, in_specs=P(*spec), out_specs=P())
+    def f(block):
+        return jax.lax.psum(jnp.sum(block, axis=chain_axis),
+                            CHAIN_AXIS) / n
+
+    return f(x)

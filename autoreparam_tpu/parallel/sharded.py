@@ -1,0 +1,62 @@
+"""Sharded sampler runners: HMC/NUTS over the chain mesh.
+
+The samplers are pure vmapped programs, so sharding is declarative:
+jit with NamedSharding on the chain axis and XLA's SPMD partitioner
+splits every per-chain computation across devices; the only cross-
+device traffic is the psum'd diagnostics (collectives.py) and the
+final gather if the caller materialises samples on host.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..inference import hmc as H
+from ..inference import nuts as N
+from .mesh import CHAIN_AXIS, shard_chains
+
+__all__ = ["run_hmc_sharded", "run_nuts_sharded"]
+
+
+def _chain_sharding(mesh, axis):
+    spec = [None] * (axis + 1)
+    spec[axis] = CHAIN_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def run_hmc_sharded(potential_fn: Callable, init_positions, key,
+                    config: H.HMCConfig, mesh: Mesh,
+                    inv_mass_diag=None,
+                    collect_fn: Optional[Callable] = None):
+    """run_hmc with the chain batch sharded over `mesh`.
+
+    `init_positions` (C, D) is placed with chains sharded; all scan
+    state inherits the sharding through XLA propagation.  Samples come
+    back sharded (S, C, D) on axis 1 — feed them to
+    parallel.collectives for pooled diagnostics without a gather.
+    """
+    init = shard_chains(mesh, init_positions, axis=0)
+
+    fn = jax.jit(
+        lambda i, k: H.run_hmc(potential_fn, i, k, config,
+                               inv_mass_diag=inv_mass_diag,
+                               collect_fn=collect_fn),
+        in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
+    )
+    return fn(init, key)
+
+
+def run_nuts_sharded(potential_fn: Callable, init_positions, key,
+                     mesh: Mesh, **kwargs):
+    """run_nuts with the chain batch sharded over `mesh`
+    (BASELINE config #5: election88, 8192 chains)."""
+    init = shard_chains(mesh, init_positions, axis=0)
+    fn = jax.jit(
+        lambda i, k: N.run_nuts(potential_fn, i, k, **kwargs),
+        in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
+    )
+    return fn(init, key)

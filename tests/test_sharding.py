@@ -1,0 +1,92 @@
+"""Sharded execution on the 8-virtual-device CPU mesh
+(SURVEY.md §5 item 4: distributed-without-a-cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autoreparam_tpu.inference import (HMCConfig, effective_sample_size,
+                                       potential_scale_reduction, run_hmc)
+from autoreparam_tpu.parallel import (make_mesh, run_hmc_sharded,
+                                      run_nuts_sharded,
+                                      sharded_effective_sample_size,
+                                      sharded_mean,
+                                      sharded_potential_scale_reduction,
+                                      shard_chains)
+
+
+def quad_pot(z):
+    return 0.5 * jnp.sum(z ** 2)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.shape["chains"] == 8
+
+
+def test_sharded_diagnostics_match_unsharded():
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (400, 16, 3))
+    want_ess = np.asarray(effective_sample_size(x))
+    want_rhat = np.asarray(potential_scale_reduction(x))
+    xs = shard_chains(mesh, x, axis=1)
+    got_ess = np.asarray(sharded_effective_sample_size(xs, mesh))
+    got_rhat = np.asarray(sharded_potential_scale_reduction(xs, mesh))
+    np.testing.assert_allclose(got_ess, want_ess, rtol=1e-3)
+    np.testing.assert_allclose(got_rhat, want_rhat, rtol=1e-4)
+
+
+def test_sharded_mean():
+    mesh = make_mesh()
+    x = jnp.arange(32.0).reshape(32, 1)
+    xs = shard_chains(mesh, x, axis=0)
+    got = float(np.asarray(sharded_mean(xs, mesh))[0])
+    np.testing.assert_allclose(got, 15.5, rtol=1e-6)
+
+
+def test_sharded_hmc_runs_and_matches_moments():
+    mesh = make_mesh()
+    C = 32  # 4 chains per device
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (C, 2))
+    cfg = HMCConfig(num_warmup=150, num_samples=150, num_leapfrog_steps=6,
+                    init_step_size=0.3)
+    samples, stats = run_hmc_sharded(quad_pot, init, key, cfg, mesh)
+    assert samples.shape == (150, C, 2)
+    # sharded samples → pooled diagnostics without host gather
+    ess = np.asarray(sharded_effective_sample_size(samples, mesh))
+    assert np.all(ess > 50)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.15)
+
+
+def test_sharded_equals_unsharded_statistically():
+    """Same key, sharded vs single-device: identical program up to XLA
+    fusion/reassociation.  HMC is chaotic, so bitwise equality is not a
+    valid contract (a 1-ulp fusion difference flips accept decisions
+    late in the run); the contract is distributional agreement."""
+    mesh = make_mesh()
+    C = 16
+    key = jax.random.PRNGKey(3)
+    init = jax.random.normal(key, (C, 2))
+    cfg = HMCConfig(num_warmup=100, num_samples=150, num_leapfrog_steps=4)
+    s1, _ = run_hmc(quad_pot, init, key, cfg)
+    s2, _ = run_hmc_sharded(quad_pot, init, key, cfg, mesh)
+    f1 = np.asarray(s1).reshape(-1, 2)
+    f2 = np.asarray(s2).reshape(-1, 2)
+    np.testing.assert_allclose(f1.mean(0), f2.mean(0), atol=0.12)
+    np.testing.assert_allclose(f1.std(0), f2.std(0), rtol=0.12)
+
+
+def test_sharded_nuts_runs():
+    mesh = make_mesh()
+    C = 16
+    key = jax.random.PRNGKey(1)
+    init = jax.random.normal(key, (C, 2))
+    samples, stats = run_nuts_sharded(quad_pot, init, key, mesh,
+                                      num_warmup=100, num_samples=100,
+                                      max_tree_depth=5)
+    assert samples.shape == (100, C, 2)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.2)
