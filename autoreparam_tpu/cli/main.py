@@ -1,0 +1,85 @@
+"""Experiment CLI — reference `main.py` parity (SURVEY.md §3.1 [H]).
+
+    python -m autoreparam_tpu.cli.main \
+        --model=radon --dataset=MN --method=cvip --inference=hmc \
+        --num_chains=128 --num_samples=1000 --burnin=1000 \
+        --num_leapfrog_steps=16 --num_optimization_steps=3000 \
+        --results_dir=./results
+
+Flag vocabulary mirrors the reference CLI (--model --dataset --method
+--inference --num_samples --burnin --num_leapfrog_steps
+--num_adaptation_steps --num_optimization_steps --results_dir), with the
+TPU-native additions --num_chains and --shard (mesh over all local
+devices).
+"""
+
+from __future__ import annotations
+
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("model", "eight_schools", "model name (see models/)")
+flags.DEFINE_string("dataset", None, "dataset variant (e.g. radon state)")
+flags.DEFINE_enum("method", "cp",
+                  ["cp", "ncp", "cvip", "dvip", "interleaved"],
+                  "parameterisation method")
+flags.DEFINE_enum("inference", "hmc", ["hmc", "nuts", "vi"],
+                  "inference engine")
+flags.DEFINE_integer("num_chains", 128, "parallel chains")
+flags.DEFINE_integer("num_samples", 1000, "posterior samples per chain")
+flags.DEFINE_integer("burnin", 1000, "warmup steps (adaptation)")
+flags.DEFINE_integer("num_leapfrog_steps", 16, "leapfrog steps (HMC)")
+flags.DEFINE_integer("max_tree_depth", 8, "max tree depth (NUTS)")
+flags.DEFINE_integer("num_optimization_steps", 3000, "VI Adam steps")
+flags.DEFINE_integer("num_mc_samples", 8, "VI ELBO MC samples")
+flags.DEFINE_float("learning_rate", 0.02, "VI Adam learning rate")
+flags.DEFINE_float("target_accept", 0.75, "dual-averaging target")
+flags.DEFINE_integer("seed", 0, "PRNG seed")
+flags.DEFINE_string("results_dir", "./results", "output directory")
+flags.DEFINE_bool("save_samples", False, "also save raw samples (.npz)")
+flags.DEFINE_bool("shard", False, "shard chains over all local devices")
+
+
+def main(argv):
+    del argv
+    # heavy imports after flag parsing (fast --help)
+    from ..inference.pipeline import run_experiment
+    from ..models import get_model
+    from ..utils.results import save_result
+
+    spec = get_model(FLAGS.model, FLAGS.dataset)
+    logging.info("model=%s method=%s inference=%s chains=%d",
+                 spec.name, FLAGS.method, FLAGS.inference,
+                 FLAGS.num_chains)
+    res = run_experiment(
+        spec, method=FLAGS.method, inference=FLAGS.inference,
+        num_chains=FLAGS.num_chains,
+        num_warmup=FLAGS.burnin,
+        num_samples=FLAGS.num_samples,
+        num_leapfrog_steps=FLAGS.num_leapfrog_steps,
+        max_tree_depth=FLAGS.max_tree_depth,
+        num_optimization_steps=FLAGS.num_optimization_steps,
+        num_mc_samples=FLAGS.num_mc_samples,
+        learning_rate=FLAGS.learning_rate,
+        target_accept=FLAGS.target_accept,
+        seed=FLAGS.seed)
+
+    s = res.summary
+    if FLAGS.inference == "vi":
+        logging.info("ELBO = %.3f", s["elbo"])
+    else:
+        logging.info("ess_min=%.1f ess/grad(min)=%.3f rhat_max=%.3f "
+                     "wall=%.1fs",
+                     s["ess_min"], s["ess_per_grad_min"], s["rhat_max"],
+                     s["wall_time_s"])
+        if "lambda" in s:
+            for k, v in s["lambda"].items():
+                logging.info("lambda[%s] = %s", k, v)
+    path = save_result(FLAGS.results_dir, s,
+                       samples=res.samples if FLAGS.save_samples else None)
+    logging.info("wrote %s", path)
+
+
+if __name__ == "__main__":
+    app.run(main)

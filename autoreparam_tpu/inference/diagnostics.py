@@ -25,18 +25,35 @@ __all__ = ["autocovariance", "effective_sample_size", "ess_from_moments",
            "potential_scale_reduction", "ess_per_grad", "summarize"]
 
 
-def autocovariance(x, axis: int = 0):
-    """Biased autocovariance along `axis` via FFT (dividing by S, as Stan
-    does, which already damps large lags)."""
+def autocovariance(x, axis: int = 0, max_lags: int = None):
+    """Biased autocovariance along `axis` (dividing by S, as Stan does,
+    which already damps large lags).
+
+    Two paths:
+    - `max_lags=None`: full FFT autocovariance, O(S log S) — exact but
+      the padded complex intermediates are the memory/time hog at 8k+
+      chains on TPU.
+    - `max_lags=K`: direct lagged products for lags 0..K, O(S·K) pure
+      VPU work with O(1) extra memory — the TPU-native fast path.
+      Valid whenever chains mix faster than K lags (the Geyer truncation
+      then falls inside the window; summarize() uses this).
+    """
     x = jnp.moveaxis(x, axis, 0)
     S = x.shape[0]
-    x = x - jnp.mean(x, axis=0, keepdims=True)
-    n_fft = 1
-    while n_fft < 2 * S:
-        n_fft *= 2
-    f = jnp.fft.rfft(x, n=n_fft, axis=0)
-    acov = jnp.fft.irfft(f * jnp.conj(f), n=n_fft, axis=0)[:S]
-    acov = acov / S
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    if max_lags is None:
+        n_fft = 1
+        while n_fft < 2 * S:
+            n_fft *= 2
+        f = jnp.fft.rfft(xc, n=n_fft, axis=0)
+        acov = jnp.fft.irfft(f * jnp.conj(f), n=n_fft, axis=0)[:S]
+        acov = acov / S
+    else:
+        K = min(max_lags, S - 1)
+        rows = [jnp.sum(xc * xc, axis=0) / S]
+        for k in range(1, K + 1):
+            rows.append(jnp.sum(xc[:S - k] * xc[k:], axis=0) / S)
+        acov = jnp.stack(rows, axis=0)                # (K+1, ...)
     return jnp.moveaxis(acov, 0, axis)
 
 
@@ -64,9 +81,11 @@ def ess_from_moments(mean_acov, W, B_over_n, S: int, C: int):
     same Geyer truncation."""
     dtype = mean_acov.dtype
     var_hat = (S - 1.0) / S * W + B_over_n
-    rho = 1.0 - (W - mean_acov) / var_hat             # (S, ...)
+    rho = 1.0 - (W - mean_acov) / var_hat             # (L, ...), L <= S
     # Geyer pairs P_k = rho_{2k} + rho_{2k+1}; drop the last odd lag.
-    T = (S // 2) * 2
+    # (L < S when the autocovariance was lag-truncated; valid as long as
+    # the Geyer cutoff lands inside the window.)
+    T = (min(mean_acov.shape[0], S) // 2) * 2
     pairs = rho[0:T:2] + rho[1:T:2]                   # (T/2, ...)
     # initial positive sequence: zero after the first non-positive pair
     positive = pairs > 0.0
@@ -83,17 +102,51 @@ def ess_from_moments(mean_acov, W, B_over_n, S: int, C: int):
     return jnp.minimum(ess, jnp.asarray(S * C, dtype) * 1.0)
 
 
-def effective_sample_size(samples):
-    """Cross-chain ESS (Vehtari/Stan). `samples`: (S, C, ...) -> (...)."""
+def effective_sample_size(samples, chain_chunk: int = 512,
+                          max_lags: int = None):
+    """Cross-chain ESS (Vehtari/Stan). `samples`: (S, C, ...) -> (...).
+
+    Memory strategy (SURVEY.md §8.3 #3): with `max_lags=K` the
+    autocovariance is computed by direct lagged products — O(1) extra
+    memory at any chain count, the TPU fast path for well-mixing chains.
+    With `max_lags=None` (exact), the per-chain FFT is the memory hog at
+    scale (8192 chains × padded-2S fft length × dims of complex64), so
+    chains are processed in blocks of `chain_chunk` with a `lax.map`
+    accumulation; only the pooled (S, ...) moments persist.
+    """
     S, C = samples.shape[0], samples.shape[1]
-    acov = autocovariance(samples, axis=0)            # (S, C, ...)
-    mean_acov = jnp.mean(acov, axis=1)                # (S, ...)
-    chain_var = acov[0] * S / (S - 1.0)               # (C, ...) unbiased
-    W = jnp.mean(chain_var, axis=0)                   # (...)
     if C > 1:
         chain_mean = jnp.mean(samples, axis=0)        # (C, ...)
         B_over_n = jnp.var(chain_mean, axis=0, ddof=1)
     else:
+        B_over_n = None
+
+    if max_lags is not None:
+        acov = autocovariance(samples, axis=0, max_lags=max_lags)
+        sum_acov = jnp.sum(acov, axis=1)
+        sum_w = jnp.sum(acov[0] * S / (S - 1.0), axis=0)
+    elif C <= chain_chunk or C % chain_chunk != 0:
+        acov = autocovariance(samples, axis=0)        # (S, C, ...)
+        sum_acov = jnp.sum(acov, axis=1)
+        sum_w = jnp.sum(acov[0] * S / (S - 1.0), axis=0)
+    else:
+        n_blocks = C // chain_chunk
+        blocks = jnp.moveaxis(
+            samples.reshape((S, n_blocks, chain_chunk)
+                            + samples.shape[2:]), 1, 0)
+
+        def block_moments(block):                     # (S, chunk, ...)
+            acov = autocovariance(block, axis=0)
+            return (jnp.sum(acov, axis=1),
+                    jnp.sum(acov[0] * S / (S - 1.0), axis=0))
+
+        sum_acov_b, sum_w_b = jax.lax.map(block_moments, blocks)
+        sum_acov = jnp.sum(sum_acov_b, axis=0)
+        sum_w = jnp.sum(sum_w_b, axis=0)
+
+    mean_acov = sum_acov / C
+    W = sum_w / C
+    if B_over_n is None:
         B_over_n = jnp.zeros_like(W)
     return ess_from_moments(mean_acov, W, B_over_n, S, C)
 

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HMCConfig", "run_hmc", "hmc_kernel", "warmup_schedule"]
+__all__ = ["HMCConfig", "run_hmc", "hmc_kernel", "warmup_schedule",
+           "warmup_hmc", "sample_hmc"]
 
 
 class DAState(NamedTuple):
@@ -198,6 +199,43 @@ def warmup_schedule(num_warmup: int, init_buffer: int = 75,
         pos += w
         window *= 2
     return is_slow, is_end
+
+
+def warmup_hmc(potential_fn: Callable, init_positions, key,
+               config: "HMCConfig", inv_mass_diag=None):
+    """Adaptation phase only: returns (state, step_size (C,), inv_mass
+    (C, D)) ready for sample_hmc.  Used by the orbax-resumable runner
+    (utils/checkpoint.py) so a preempted run never redoes warmup."""
+    cfg = config._replace(num_samples=1)
+    samples, stats = run_hmc(potential_fn, init_positions, key, cfg,
+                             inv_mass_diag=inv_mass_diag)
+    return (stats["final_state"], stats["step_size"],
+            stats["inv_mass_diag"])
+
+
+def sample_hmc(potential_fn: Callable, state: "HMCState", key,
+               num_samples: int, num_leapfrog_steps: int, step_size,
+               inv_mass, collect_fn: Optional[Callable] = None):
+    """Post-adaptation sampling from an explicit state (resume point).
+
+    Returns (samples, final_state, accept_probs).  Chains continue a
+    run checkpointed by utils/checkpoint.py exactly where it stopped
+    (step size and mass frozen, as in the main sampling phase).
+    """
+    C = state.z.shape[0]
+    kernel = jax.vmap(hmc_kernel(potential_fn, num_leapfrog_steps),
+                      in_axes=(0, 0, 0, 0))
+    if collect_fn is None:
+        collect_fn = lambda z: z  # noqa: E731
+
+    def step(st, k):
+        keys = jax.random.split(k, C)
+        st, info = kernel(st, keys, step_size, inv_mass)
+        return st, (jax.vmap(collect_fn)(st.z), info.accept_prob)
+
+    state, (samples, accept) = jax.lax.scan(
+        step, state, jax.random.split(key, num_samples))
+    return samples, state, accept
 
 
 class HMCConfig(NamedTuple):

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused multi-step leapfrog integrator.
+
+The hot loop of every HMC transition (SURVEY.md §4.1 ★) is L leapfrog
+steps, each needing ∇U.  The XLA path (inference/hmc.py `leapfrog`)
+scans the steps, writing (z, r) back to HBM between iterations.  This
+kernel keeps a block of chains' full phase-space state **resident in
+VMEM for all L steps** — positions, momenta, and gradients never touch
+HBM mid-trajectory.
+
+The potential is a plain jnp function; `jax.vmap(jax.grad(...))` is
+traced *inside* the kernel body, so the model's gradient math lowers to
+Mosaic ops on VMEM values.  This works for models whose gradient is
+expressible on the (block, D) state without large data gathers (funnel,
+eight_schools, and any dense zoo model whose data fits VMEM); data-heavy
+models keep the XLA path — which is why this is a flag-gated fast path
+with a mandatory equivalence test (tests/test_pallas.py), per
+SURVEY.md §3.2/§5 item 6.
+
+Chain blocking: grid over C/block rows; D is padded to the 128-lane
+boundary by the caller (pad dims carry zero momentum and zero gradient,
+so they are inert in the dynamics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_fused_leapfrog", "pad_dim"]
+
+
+def pad_dim(d: int, multiple: int = 128) -> int:
+    return ((d + multiple - 1) // multiple) * multiple
+
+
+def make_fused_leapfrog(potential_fn: Callable, num_steps: int,
+                        dim: int, block_chains: int = 256,
+                        interpret: bool = False):
+    """Build fused_leapfrog(z, r, grad, step_size, inv_mass) -> (z, r,
+    pot, grad), matching inference.hmc.leapfrog's contract but running
+    all `num_steps` in VMEM.
+
+    `potential_fn` takes a (dim,) vector.  Inputs are (C, dim) with C a
+    multiple of `block_chains`; step_size is (C,), inv_mass (C, dim).
+    """
+    vgrad = jax.vmap(jax.grad(potential_fn))
+    vpot = jax.vmap(potential_fn)
+
+    def kernel(z_ref, r_ref, grad_ref, eps_ref, im_ref,
+               z_out, r_out, pot_out, grad_out):
+        z = z_ref[:]
+        r = r_ref[:]
+        grad = grad_ref[:]
+        eps = eps_ref[:]          # (B, 1)
+        inv_mass = im_ref[:]      # (B, D)
+
+        def body(_, carry):
+            z, r, grad = carry
+            r_half = r - 0.5 * eps * grad
+            z_new = z + eps * inv_mass * r_half
+            grad_new = vgrad(z_new)
+            r_new = r_half - 0.5 * eps * grad_new
+            return (z_new, r_new, grad_new)
+
+        z, r, grad = jax.lax.fori_loop(0, num_steps, body, (z, r, grad))
+        z_out[:] = z
+        r_out[:] = r
+        pot_out[:] = vpot(z)[:, None]
+        grad_out[:] = grad
+
+    @jax.jit
+    def fused(z, r, grad, step_size, inv_mass):
+        C, D = z.shape
+        assert D == dim, (D, dim)
+        B = min(block_chains, C)
+        grid = (C // B,)
+        spec2 = pl.BlockSpec((B, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        spec1 = pl.BlockSpec((B, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        z_o, r_o, pot_o, grad_o = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec2, spec2, spec2, spec1, spec2],
+            out_specs=[spec2, spec2, spec1, spec2],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, D), z.dtype),
+                jax.ShapeDtypeStruct((C, D), z.dtype),
+                jax.ShapeDtypeStruct((C, 1), z.dtype),
+                jax.ShapeDtypeStruct((C, D), z.dtype),
+            ],
+            interpret=interpret,
+        )(z, r, grad, step_size[:, None], inv_mass)
+        return z_o, r_o, pot_o[:, 0], grad_o
+
+    return fused
+
+
+def fused_hmc_kernel(potential_fn: Callable, num_leapfrog_steps: int,
+                     dim: int, block_chains: int = 256,
+                     divergence_threshold: float = 1000.0,
+                     interpret: bool = False):
+    """Batched HMC transition using the fused Pallas integrator.
+
+    Contract matches vmap(inference.hmc.hmc_kernel(...)): takes batched
+    (state, keys, step_size, inv_mass), returns (state, info) — so the
+    two paths are drop-in interchangeable (and equivalence-tested).
+    """
+    from ..inference.hmc import HMCInfo, HMCState
+
+    fused = make_fused_leapfrog(potential_fn, num_leapfrog_steps, dim,
+                                block_chains, interpret=interpret)
+
+    def one_step(state: "HMCState", keys, step_size, inv_mass):
+        C, D = state.z.shape
+        key_mom = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        key_acc = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        r = (jax.vmap(lambda k, s: jax.random.normal(k, s.shape, s.dtype))
+             (key_mom, state.z) * jax.lax.rsqrt(inv_mass))
+        energy0 = state.pot + 0.5 * jnp.sum(r * r * inv_mass, axis=-1)
+        z_new, r_new, pot_new, grad_new = fused(
+            state.z, r, state.grad, step_size, inv_mass)
+        energy1 = pot_new + 0.5 * jnp.sum(r_new * r_new * inv_mass,
+                                          axis=-1)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        is_divergent = -delta > divergence_threshold
+        u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_acc)
+        accept = u < accept_prob
+        acc2 = accept[:, None]
+        new_state = HMCState(
+            z=jnp.where(acc2, z_new, state.z),
+            pot=jnp.where(accept, pot_new, state.pot),
+            grad=jnp.where(acc2, grad_new, state.grad),
+        )
+        info = HMCInfo(accept_prob=accept_prob, is_accepted=accept,
+                       is_divergent=is_divergent, energy=energy1,
+                       step_size=step_size)
+        return new_state, info
+
+    return one_step

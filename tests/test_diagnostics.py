@@ -70,3 +70,22 @@ def test_summarize_shapes():
     assert s["mean"].shape == (5,)
     assert s["ess"].shape == (5,)
     assert s["rhat"].shape == (5,)
+
+
+def test_direct_lag_ess_matches_fft():
+    """Truncated direct-lag autocovariance path must agree with the
+    exact FFT path when the Geyer cutoff lands inside the window."""
+    phi = 0.7
+    rng = np.random.default_rng(1)
+    S, C = 2000, 8
+    eps = rng.normal(size=(S, C, 2)) * np.sqrt(1 - phi ** 2)
+    x = np.zeros((S, C, 2))
+    for t in range(1, S):
+        x[t] = phi * x[t - 1] + eps[t]
+    xj = jnp.asarray(x, jnp.float32)
+    exact = np.asarray(dg.effective_sample_size(xj))
+    direct = np.asarray(dg.effective_sample_size(xj, max_lags=128))
+    np.testing.assert_allclose(direct, exact, rtol=0.02)
+    # chunked FFT path agrees too
+    chunked = np.asarray(dg.effective_sample_size(xj, chain_chunk=4))
+    np.testing.assert_allclose(chunked, exact, rtol=1e-4)
