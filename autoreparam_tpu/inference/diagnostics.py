@@ -18,6 +18,8 @@ Implementation notes (all pure jnp, jit/vmap-safe):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -50,11 +52,28 @@ def autocovariance(x, axis: int = 0, max_lags: int = None):
         acov = acov / S
     else:
         K = min(max_lags, S - 1)
-        rows = [jnp.sum(xc * xc, axis=0) / S]
-        for k in range(1, K + 1):
-            rows.append(jnp.sum(xc[:S - k] * xc[k:], axis=0) / S)
-        acov = jnp.stack(rows, axis=0)                # (K+1, ...)
+        acov = _direct_acov(xc, K)                    # (K+1, ...)
     return jnp.moveaxis(acov, 0, axis)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _direct_acov(xc, K: int):
+    """All lags 0..K in ONE compiled scan (a Python loop of eager ops
+    would pay one device dispatch per lag — fatal through the TPU
+    tunnel).  Each step rolls by one and masks the wrap-around."""
+    S = xc.shape[0]
+    t_idx = jnp.arange(S).reshape((S,) + (1,) * (xc.ndim - 1))
+
+    def step(carry, k):
+        rolled = carry
+        # rolled holds xc shifted by k (wrapped); mask the wrapped tail
+        valid = (t_idx < S - k).astype(xc.dtype)
+        acov_k = jnp.sum(xc * rolled * valid, axis=0) / S
+        next_rolled = jnp.roll(rolled, -1, axis=0)
+        return next_rolled, acov_k
+
+    _, acovs = jax.lax.scan(step, xc, jnp.arange(K + 1))
+    return acovs
 
 
 def potential_scale_reduction(samples):

@@ -71,10 +71,12 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     vi_wall = time.perf_counter() - t0
     log(f"VI done in {vi_wall:.1f}s")
 
-    vip = make_vip_model(spec.model, vi.lam)
-    info = get_model_info(vip, spec.args)
-    pot = make_potential_fn(vip, info, spec.args)
-    rec = recover_fn(vip, info, spec.args)
+    # λ and the q*-derived mass enter as traced ARGUMENTS (not closure
+    # constants): the HLO is then identical across bench invocations, so
+    # the persistent compile cache hits even though VI re-learns λ.
+    lam_template = vi.lam
+    info = get_model_info(make_vip_model(spec.model, lam_template),
+                          spec.args)
 
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog)
@@ -82,22 +84,21 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     init = vi.loc + vi.scale * eps
     inv_mass = vi.scale ** 2
 
-    # Keep the sampling program lean (raw unconstrained collection);
-    # model-space recovery runs as a separate small jitted pass — this
-    # halves XLA compile time on the 1-core host without changing the
-    # measured sampling wall time.
-    run = jax.jit(lambda i, k: H.run_hmc(
-        pot, i, k, cfg, inv_mass_diag=inv_mass))
+    @jax.jit
+    def run(i, k, lam, im):
+        pot = make_potential_fn(make_vip_model(spec.model, lam), info,
+                                spec.args)
+        return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im)
 
     # compile
     t0 = time.perf_counter()
-    out = run(init, k_run)
+    out = run(init, k_run, vi.lam, inv_mass)
     jax.block_until_ready(out)
     compile_and_first = time.perf_counter() - t0
     log(f"HMC compile+first: {compile_and_first:.1f}s")
     # steady state
     t0 = time.perf_counter()
-    samples, stats = run(init, k_run)
+    samples, stats = run(init, k_run, vi.lam, inv_mass)
     jax.block_until_ready(samples)
     wall = time.perf_counter() - t0
     log(f"HMC steady: {wall:.2f}s")
@@ -106,19 +107,23 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     S, C = num_samples, num_chains
 
     @jax.jit
-    def recover_all(zs):  # (S, C, D) -> (S, C, Dtot) model space
-        rec_v = jax.vmap(jax.vmap(rec))
-        vals = rec_v(zs)
+    def recover_all(zs, lam):  # (S, C, D) -> (S, C, Dtot) model space
+        rec = recover_fn(make_vip_model(spec.model, lam), info, spec.args)
+        vals = jax.vmap(jax.vmap(rec))(zs)
         return jnp.concatenate(
             [v.reshape(S, C, -1) for v in vals.values()], axis=-1)
 
-    arr = recover_all(samples)
+    arr = recover_all(samples, vi.lam)
     jax.block_until_ready(arr)
     log("recover pass done")
     # direct-lag ESS: O(1) memory at 8k chains; 256 lags >> the Geyer
-    # cutoff for these well-mixed chains (tau ~ 3-10)
+    # cutoff for these well-mixed chains (tau ~ 3-10).  tau is estimated
+    # from a 1024-chain subsample (iid chains — unbiased; >500k draws is
+    # far beyond what the tau estimate needs) to bound HBM traffic.
     t0 = time.perf_counter()
-    ess = np.asarray(dg.effective_sample_size(arr, max_lags=256))
+    C_tau = min(1024, C)
+    ess_sub = dg.effective_sample_size(arr[:, :C_tau], max_lags=256)
+    ess = np.asarray(ess_sub) * (C / C_tau)
     log(f"ESS: {time.perf_counter()-t0:.1f}s")
     rhat = np.asarray(dg.potential_scale_reduction(arr))
     return {
