@@ -1,0 +1,234 @@
+"""ChEES-HMC: cross-chain adaptive trajectory-length HMC.
+
+Beyond-the-reference engine (the reference hand-tunes
+--num_leapfrog_steps per model; SURVEY.md §3.1).  ChEES (Hoffman, Radul
+& Sountsov, AISTATS 2021 — flagged in PAPERS.md via the ChEES-SMC
+follow-up) adapts the trajectory length T by stochastic-gradient ascent
+on the Change in the Estimator of the Expected Square criterion
+
+    ChEES = 1/4 · E[(‖z′ − E z′‖² − ‖z − E z‖²)²],
+
+whose gradient w.r.t. T is estimable from one step of a *large batch of
+parallel chains* — exactly the TPU regime this framework runs in
+(8k+ chains; the cross-chain means are one `jnp.mean`, which XLA turns
+into ICI collectives when the chain axis is sharded).
+
+Design notes:
+- Trajectory lengths are jittered per iteration: t_i = u_i · T with
+  u_i from a Halton sequence (shared across chains so every chain runs
+  the same L_i leapfrog steps — the batch stays in lockstep; dynamic
+  trip count via `lax.fori_loop` with a traced bound).
+- Step size: dual averaging on the cross-chain mean acceptance
+  (harmonic mean target 0.651, the jittered-HMC optimum used by TFP).
+- Diagonal mass: exponential moving average of the *ensemble* variance
+  across chains — with thousands of chains this replaces Stan's slow
+  windowed Welford entirely (no warmup windows needed).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hmc as H
+
+__all__ = ["CheesConfig", "run_chees"]
+
+
+def _halton(n: int, base: int = 2) -> np.ndarray:
+    """First n points of the base-b Halton sequence in (0, 1)."""
+    out = np.zeros(n)
+    for i in range(n):
+        f, r, x = 1.0, 0.0, i + 1
+        while x > 0:
+            f /= base
+            r += f * (x % base)
+            x //= base
+        out[i] = r
+    return out
+
+
+class CheesConfig(NamedTuple):
+    num_warmup: int = 1000
+    num_samples: int = 1000
+    init_step_size: float = 0.1
+    init_traj_length: float = 1.0
+    target_accept: float = 0.651
+    max_leapfrog_steps: int = 1024
+    adam_lr: float = 0.025
+    mass_ema: float = 0.9
+    adapt_mass: bool = True
+    divergence_threshold: float = 1000.0
+
+
+class _AdamState(NamedTuple):
+    m: jnp.ndarray
+    v: jnp.ndarray
+    t: jnp.ndarray
+
+
+def run_chees(potential_fn: Callable,
+              init_positions,  # (C, D)
+              key,
+              config: CheesConfig = CheesConfig(),
+              inv_mass_diag=None,
+              collect_fn: Optional[Callable] = None):
+    """Warmup (adapts ε, T, mass) + sampling, one jitted program.
+
+    Returns (samples, stats); stats include the adapted trajectory
+    length and realized leapfrog counts (for ESS/grad accounting).
+    """
+    C, D = init_positions.shape
+    dtype = init_positions.dtype
+    cfg = config
+    v_pg = jax.vmap(jax.value_and_grad(potential_fn))
+
+    halton = jnp.asarray(
+        _halton(cfg.num_warmup + cfg.num_samples), dtype)
+
+    if inv_mass_diag is None:
+        inv_mass0 = jnp.ones((D,), dtype)
+    else:
+        inv_mass0 = jnp.asarray(inv_mass_diag, dtype)
+
+    def batched_leapfrog(z, r, grad, eps, inv_mass, n_steps):
+        """n_steps (traced scalar) leapfrog steps for the whole batch."""
+
+        def body(_, carry):
+            z, r, grad = carry
+            r_half = r - 0.5 * eps * grad
+            z_new = z + eps * inv_mass[None, :] * r_half
+            _, grad_new = v_pg(z_new)
+            r_new = r_half - 0.5 * eps * grad_new
+            return (z_new, r_new, grad_new)
+
+        return jax.lax.fori_loop(0, n_steps, body, (z, r, grad))
+
+    def transition(z, pot, grad, key, eps, inv_mass, u):
+        """One jittered-HMC step for all chains; returns ChEES gradient
+        w.r.t. log T as well."""
+        k_mom, k_acc = jax.random.split(key)
+        traj = u  # = u_i * T, computed by caller
+        n_steps = jnp.clip(
+            jnp.ceil(traj / eps).astype(jnp.int32), 1,
+            cfg.max_leapfrog_steps)
+        r = (jax.random.normal(k_mom, (C, D), dtype)
+             * jax.lax.rsqrt(inv_mass)[None, :])
+        e0 = pot + 0.5 * jnp.sum(r * r * inv_mass[None, :], axis=-1)
+        z1, r1, grad1 = batched_leapfrog(z, r, grad, eps, inv_mass,
+                                         n_steps)
+        pot1 = jax.vmap(potential_fn)(z1)
+        e1 = pot1 + 0.5 * jnp.sum(r1 * r1 * inv_mass[None, :], axis=-1)
+        delta = e0 - e1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        accept = (jax.random.uniform(k_acc, (C,), dtype) < accept_prob)
+
+        # ChEES gradient w.r.t. trajectory length (paper eq. 14):
+        # per-chain  α·(‖z′−z̄′‖² − ‖z−z̄‖²)·⟨z′−z̄′, v′⟩, v′ = M⁻¹ r′
+        zbar = jnp.mean(z, axis=0)     # cross-chain (ICI when sharded)
+        zbar1 = jnp.mean(z1, axis=0)
+        dz = z - zbar[None, :]
+        dz1 = z1 - zbar1[None, :]
+        sq_diff = jnp.sum(dz1 * dz1, axis=-1) - jnp.sum(dz * dz, axis=-1)
+        v1 = r1 * inv_mass[None, :]
+        proj = jnp.sum(dz1 * v1, axis=-1)
+        per_chain = accept_prob * sq_diff * proj
+        denom = jnp.maximum(jnp.sum(accept_prob), 1e-6)
+        chees_grad = jnp.sum(per_chain) / denom  # d ChEES / d t
+
+        acc2 = accept[:, None]
+        z = jnp.where(acc2, z1, z)
+        pot = jnp.where(accept, pot1, pot)
+        grad = jnp.where(acc2, grad1, grad)
+        divergent = -delta > cfg.divergence_threshold
+        return (z, pot, grad, accept_prob, chees_grad, n_steps,
+                divergent)
+
+    def adam_update(a: _AdamState, g, lr):
+        t = a.t + 1.0
+        m = 0.9 * a.m + 0.1 * g
+        v = 0.999 * a.v + 0.001 * g * g
+        mhat = m / (1 - 0.9 ** t)
+        vhat = v / (1 - 0.999 ** t)
+        return _AdamState(m, v, t), lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+
+    pot0, grad0 = v_pg(init_positions)
+
+    def warm_step(carry, xs):
+        z, pot, grad, da, log_T, adam, inv_mass = carry
+        key, u = xs
+        eps = jnp.exp(da.log_eps)
+        traj = u * jnp.exp(log_T)
+        (z, pot, grad, accept_prob, chees_grad, n_steps,
+         _) = transition(z, pot, grad, key, eps, inv_mass, traj)
+        # dual averaging on the cross-chain harmonic-mean acceptance
+        mean_acc = 1.0 / jnp.mean(1.0 / jnp.maximum(accept_prob, 1e-4))
+        da = H.da_update(da, mean_acc, cfg.target_accept)
+        # Adam ascent on log T with the normalized ChEES gradient
+        g = chees_grad * jnp.exp(log_T)  # chain rule d/dlogT
+        g = g / (jnp.abs(g) + 1e-12)     # sign-normalized (robust)
+        adam, step = adam_update(adam, -g, cfg.adam_lr)
+        log_T = log_T - step
+        # cap T so trajectories stay under max_leapfrog
+        log_T = jnp.minimum(
+            log_T, jnp.log(cfg.max_leapfrog_steps * jnp.exp(da.log_eps)))
+        if cfg.adapt_mass:
+            ens_var = jnp.var(z, axis=0) + 1e-6
+            inv_mass = (cfg.mass_ema * inv_mass
+                        + (1 - cfg.mass_ema) * ens_var)
+        return ((z, pot, grad, da, log_T, adam, inv_mass),
+                (mean_acc, jnp.exp(log_T), n_steps))
+
+    key, k_warm, k_samp = jax.random.split(key, 3)
+    da0 = H.da_init(jnp.asarray(cfg.init_step_size, dtype))
+    log_T0 = jnp.log(jnp.asarray(cfg.init_traj_length, dtype))
+    adam0 = _AdamState(jnp.zeros((), dtype), jnp.zeros((), dtype),
+                       jnp.zeros((), dtype))
+
+    carry = (init_positions, pot0, grad0, da0, log_T0, adam0, inv_mass0)
+    if cfg.num_warmup > 0:
+        carry, (warm_acc, T_trace, L_trace) = jax.lax.scan(
+            warm_step, carry,
+            (jax.random.split(k_warm, cfg.num_warmup),
+             halton[:cfg.num_warmup]))
+    else:
+        warm_acc = T_trace = L_trace = jnp.zeros((0,), dtype)
+    z, pot, grad, da, log_T, _, inv_mass = carry
+    eps_final = jnp.exp(da.log_eps_bar)
+    T_final = jnp.exp(log_T)
+
+    if collect_fn is None:
+        collect_fn = lambda zz: zz  # noqa: E731
+
+    def sample_step(carry, xs):
+        z, pot, grad = carry
+        key, u = xs
+        traj = u * T_final
+        (z, pot, grad, accept_prob, _, n_steps, div) = transition(
+            z, pot, grad, key, eps_final, inv_mass, traj)
+        return (z, pot, grad), (jax.vmap(collect_fn)(z), accept_prob,
+                                n_steps, div)
+
+    (z, pot, grad), (samples, acc, n_steps, div) = jax.lax.scan(
+        sample_step, (z, pot, grad),
+        (jax.random.split(k_samp, cfg.num_samples),
+         halton[cfg.num_warmup:]))
+
+    stats = {
+        "step_size": eps_final,
+        "trajectory_length": T_final,
+        "inv_mass_diag": inv_mass,
+        "accept_prob": acc,
+        "num_leapfrog_per_sample": n_steps,      # (S,)
+        "num_grad_evals_per_sample": jnp.mean(
+            n_steps.astype(dtype)),
+        "divergences": div,
+        "warmup_accept": warm_acc,
+        "warmup_T_trace": T_trace,
+    }
+    return samples, stats
