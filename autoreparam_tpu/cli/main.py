@@ -24,7 +24,8 @@ flags.DEFINE_string("dataset", None, "dataset variant (e.g. radon state)")
 flags.DEFINE_enum("method", "cp",
                   ["cp", "ncp", "cvip", "dvip", "interleaved"],
                   "parameterisation method")
-flags.DEFINE_enum("inference", "hmc", ["hmc", "nuts", "vi"],
+flags.DEFINE_enum("inference", "hmc",
+                  ["hmc", "nuts", "chees", "vi"],
                   "inference engine")
 flags.DEFINE_integer("num_chains", 128, "parallel chains")
 flags.DEFINE_integer("num_samples", 1000, "posterior samples per chain")
@@ -63,7 +64,7 @@ def main(argv):
         num_mc_samples=FLAGS.num_mc_samples,
         learning_rate=FLAGS.learning_rate,
         target_accept=FLAGS.target_accept,
-        seed=FLAGS.seed)
+        seed=FLAGS.seed, shard=FLAGS.shard)
 
     s = res.summary
     if FLAGS.inference == "vi":

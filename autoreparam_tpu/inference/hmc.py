@@ -254,7 +254,8 @@ def run_hmc(potential_fn: Callable,
             key,
             config: HMCConfig = HMCConfig(),
             inv_mass_diag: Optional[jnp.ndarray] = None,  # (D,) or (C, D)
-            collect_fn: Optional[Callable] = None):
+            collect_fn: Optional[Callable] = None,
+            kernel_impl: Optional[Callable] = None):
     """Run warmup + sampling for a batch of chains in one jitted program.
 
     Returns (samples, stats) where samples is (S, C, D) (or the pytree
@@ -267,9 +268,15 @@ def run_hmc(potential_fn: Callable,
     """
     C, D = init_positions.shape
     dtype = init_positions.dtype
-    kernel = hmc_kernel(potential_fn, config.num_leapfrog_steps,
-                        config.divergence_threshold)
-    v_kernel = jax.vmap(kernel, in_axes=(0, 0, 0, 0))
+    if kernel_impl is not None:
+        # drop-in batched transition (e.g. ops.fused_hmc_kernel — the
+        # Pallas VMEM-resident integrator); contract matches
+        # vmap(hmc_kernel(...))
+        v_kernel = kernel_impl
+    else:
+        kernel = hmc_kernel(potential_fn, config.num_leapfrog_steps,
+                            config.divergence_threshold)
+        v_kernel = jax.vmap(kernel, in_axes=(0, 0, 0, 0))
     pg = jax.vmap(jax.value_and_grad(potential_fn))
 
     if inv_mass_diag is None:

@@ -5,7 +5,7 @@ reference's `main.py` (SURVEY.md §3.1 "Experiment driver", §4).
 reference CLI vocabulary:
 
     method    ∈ {cp, ncp, cvip, dvip, interleaved}
-    inference ∈ {hmc, nuts, vi}
+    inference ∈ {hmc, nuts, chees, vi}
 
 The cVIP/dVIP pipelines are the reference's headline flow (SURVEY.md
 §4.2): VI phase learns (q*, λ*), then HMC runs on the λ*-parameterised
@@ -34,7 +34,7 @@ from .vi import VIResult, discretize_lambda, fit_vi
 __all__ = ["ExperimentResult", "run_experiment", "METHODS", "INFERENCES"]
 
 METHODS = ("cp", "ncp", "cvip", "dvip", "interleaved")
-INFERENCES = ("hmc", "nuts", "vi")
+INFERENCES = ("hmc", "nuts", "chees", "vi")
 
 
 class ExperimentResult(NamedTuple):
@@ -68,7 +68,8 @@ def run_experiment(spec: ModelSpec,
                    target_accept: float = 0.75,
                    max_tree_depth: int = 8,
                    seed: int = 0,
-                   collect_constrained: bool = True) -> ExperimentResult:
+                   collect_constrained: bool = True,
+                   shard: bool = False) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end."""
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
@@ -140,6 +141,11 @@ def run_experiment(spec: ModelSpec,
     if collect_constrained:
         collect = recover_fn(sampled_model, info, args, kwargs)
 
+    mesh = None
+    if shard and method != "interleaved" and inference != "vi":
+        from ..parallel import make_mesh
+        mesh = make_mesh()
+
     t0 = time.perf_counter()
     if method == "interleaved":
         samples, stats = run_interleaved_hmc(
@@ -147,18 +153,45 @@ def run_experiment(spec: ModelSpec,
             collect_fn=collect)
         grad_multiplier = 2.0
     elif inference == "nuts":
-        from .nuts import run_nuts  # local import: heavy module
-        samples, stats = run_nuts(
-            make_potential_fn(sampled_model, info, args, kwargs),
-            init, k_run,
-            num_warmup=num_warmup, num_samples=num_samples,
-            max_tree_depth=max_tree_depth, target_accept=target_accept,
-            inv_mass_diag=inv_mass, collect_fn=collect)
+        pot = make_potential_fn(sampled_model, info, args, kwargs)
+        nuts_kw = dict(num_warmup=num_warmup, num_samples=num_samples,
+                       max_tree_depth=max_tree_depth,
+                       target_accept=target_accept,
+                       inv_mass_diag=inv_mass, collect_fn=collect)
+        if mesh is not None:
+            from ..parallel import run_nuts_sharded
+            samples, stats = run_nuts_sharded(pot, init, k_run, mesh,
+                                              **nuts_kw)
+        else:
+            from .nuts import run_nuts  # local import: heavy module
+            samples, stats = run_nuts(pot, init, k_run, **nuts_kw)
+    elif inference == "chees":
+        from .chees import CheesConfig, run_chees
+        ccfg = CheesConfig(num_warmup=num_warmup,
+                           num_samples=num_samples)
+        pot = make_potential_fn(sampled_model, info, args, kwargs)
+        im1d = (inv_mass[0] if (inv_mass is not None
+                                and inv_mass.ndim > 1) else inv_mass)
+        if mesh is not None:
+            from ..parallel import run_chees_sharded
+            samples, stats = run_chees_sharded(
+                pot, init, k_run, mesh, config=ccfg,
+                inv_mass_diag=im1d, collect_fn=collect)
+        else:
+            samples, stats = run_chees(pot, init, k_run, ccfg,
+                                       inv_mass_diag=im1d,
+                                       collect_fn=collect)
     else:
         pot = make_potential_fn(sampled_model, info, args, kwargs)
-        samples, stats = H.run_hmc(pot, init, k_run, cfg,
-                                   inv_mass_diag=inv_mass,
-                                   collect_fn=collect)
+        if mesh is not None:
+            from ..parallel import run_hmc_sharded
+            samples, stats = run_hmc_sharded(pot, init, k_run, cfg, mesh,
+                                             inv_mass_diag=inv_mass,
+                                             collect_fn=collect)
+        else:
+            samples, stats = H.run_hmc(pot, init, k_run, cfg,
+                                       inv_mass_diag=inv_mass,
+                                       collect_fn=collect)
     jax.block_until_ready(samples)
     wall = time.perf_counter() - t0
 
@@ -189,6 +222,7 @@ def run_experiment(spec: ModelSpec,
     else:
         grads_per_sample = float(np.asarray(
             stats["num_grad_evals_per_sample"]))
+    grads_per_sample = max(grads_per_sample, 1.0)
     epg = dg.ess_per_grad(ess, num_samples, grads_per_sample,
                           grad_multiplier=grad_multiplier)
     summary = {

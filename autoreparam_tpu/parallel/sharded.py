@@ -19,7 +19,7 @@ from ..inference import hmc as H
 from ..inference import nuts as N
 from .mesh import CHAIN_AXIS, shard_chains
 
-__all__ = ["run_hmc_sharded", "run_nuts_sharded"]
+__all__ = ["run_hmc_sharded", "run_nuts_sharded", "run_chees_sharded"]
 
 
 def _chain_sharding(mesh, axis):
@@ -57,6 +57,22 @@ def run_nuts_sharded(potential_fn: Callable, init_positions, key,
     init = shard_chains(mesh, init_positions, axis=0)
     fn = jax.jit(
         lambda i, k: N.run_nuts(potential_fn, i, k, **kwargs),
+        in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
+    )
+    return fn(init, key)
+
+
+def run_chees_sharded(potential_fn: Callable, init_positions, key,
+                      mesh: Mesh, config=None, **kwargs):
+    """run_chees over the chain mesh.  The ChEES cross-chain moments
+    (z̄, ensemble variance) are plain jnp.means over the sharded chain
+    axis — XLA lowers them to psums over ICI."""
+    from ..inference import chees as CH
+
+    config = config or CH.CheesConfig()
+    init = shard_chains(mesh, init_positions, axis=0)
+    fn = jax.jit(
+        lambda i, k: CH.run_chees(potential_fn, i, k, config, **kwargs),
         in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
     )
     return fn(init, key)

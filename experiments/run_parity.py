@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Run the five BASELINE.md parity configs and write PARITY.md.
+
+    python experiments/run_parity.py [--quick] [--results_dir=...]
+
+Configs (BASELINE.json:7-11):
+  1. eight_schools, CP, HMC          — posterior parity vs NCP oracle
+  2. Neal's funnel, NCP + dual avg   — analytic posterior (v ~ N(0,3))
+  3. radon (MN), cVIP-HMC            — learned per-variable λ
+  4. german_credit_lognormalcentered — interleaved HMC
+  5. election88, 8192-chain NUTS     — mesh-sharded at scale
+
+Each config writes a results JSON (utils.results schema) and a PASS/FAIL
+check into PARITY.md.  --quick shrinks sizes for CI smoke.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--results_dir",
+                    default=os.path.join(REPO, "results", "parity"))
+    ap.add_argument("--skip", default="",
+                    help="comma-separated config numbers to skip")
+    args = ap.parse_args()
+    skip = {int(x) for x in args.skip.split(",") if x}
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    import numpy as np
+
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models import get_model
+    from autoreparam_tpu.utils.results import save_result
+
+    q = args.quick
+    checks = []
+
+    def record(n, name, summary, passed, note):
+        checks.append((n, name, passed, note))
+        print(f"[parity {n}] {name}: {'PASS' if passed else 'FAIL'} — "
+              f"{note}", flush=True)
+
+    def run_and_save(tag, spec, **kw):
+        t0 = time.time()
+        res = run_experiment(spec, **kw)
+        res.summary["parity_config"] = tag
+        res.summary["total_time_s"] = time.time() - t0
+        save_result(args.results_dir, res.summary)
+        return res
+
+    # ---- 1: eight_schools CP HMC vs NCP oracle -----------------------
+    if 1 not in skip:
+        spec = get_model("eight_schools")
+        sz = dict(num_chains=16 if q else 64,
+                  num_warmup=300 if q else 2000,
+                  num_samples=300 if q else 2000,
+                  num_leapfrog_steps=8 if q else 16)
+        cp = run_and_save("1-eight_schools-cp", spec, method="cp",
+                          inference="hmc", seed=0, **sz)
+        ncp = run_and_save("1b-eight_schools-ncp-oracle", spec,
+                           method="ncp", inference="hmc", seed=1, **sz)
+        i_cp = cp.summary["param_names"].index("mu")
+        i_ncp = ncp.summary["param_names"].index("mu")
+        mu_cp, mu_ncp = cp.summary["mean"][i_cp], ncp.summary["mean"][i_ncp]
+        se = 3.3 * np.sqrt(1 / max(cp.summary["ess"][i_cp], 1)
+                           + 1 / max(ncp.summary["ess"][i_ncp], 1))
+        ok = abs(mu_cp - mu_ncp) < max(4 * se, 0.4)
+        record(1, "eight_schools CP-HMC", cp.summary, ok,
+               f"mu: cp={mu_cp:.2f} ncp={mu_ncp:.2f} (4se={4*se:.2f})")
+
+    # ---- 2: funnel NCP + dual averaging ------------------------------
+    if 2 not in skip:
+        spec = get_model("neals_funnel")
+        res = run_and_save("2-funnel-ncp", spec, method="ncp",
+                           inference="hmc",
+                           num_chains=16 if q else 128,
+                           num_warmup=300 if q else 1000,
+                           num_samples=300 if q else 1000,
+                           num_leapfrog_steps=8, seed=0)
+        i = res.summary["param_names"].index("v")
+        m, s = res.summary["mean"][i], res.summary["std"][i]
+        ok = abs(m) < 0.3 and abs(s - 3.0) < 0.35
+        record(2, "funnel NCP-HMC", res.summary, ok,
+               f"v: mean={m:.2f} (0), std={s:.2f} (3.0), "
+               f"rhat={res.summary['rhat_max']:.3f}")
+
+    # ---- 3: radon MN cVIP-HMC ----------------------------------------
+    if 3 not in skip:
+        spec = get_model("radon", "MN")
+        res = run_and_save("3-radon-cvip", spec, method="cvip",
+                           inference="hmc",
+                           num_chains=32 if q else 256,
+                           num_warmup=200 if q else 1000,
+                           num_samples=200 if q else 1000,
+                           num_leapfrog_steps=8 if q else 16,
+                           num_optimization_steps=600 if q else 3000,
+                           learning_rate=0.05, seed=0)
+        lam_a = np.asarray(res.summary["lambda"]["a"])
+        ok = (res.summary["rhat_max"] < 1.2
+              and 0.0 <= lam_a.mean() <= 1.0
+              and lam_a.std() > 0.005)  # per-variable λ actually varies
+        record(3, "radon-MN cVIP-HMC", res.summary, ok,
+               f"lambda[a]: mean={lam_a.mean():.2f} std={lam_a.std():.2f}"
+               f", rhat={res.summary['rhat_max']:.3f}")
+
+    # ---- 4: german_credit iHMC ---------------------------------------
+    if 4 not in skip:
+        spec = get_model("german_credit_lognormalcentered")
+        res = run_and_save("4-german-ihmc", spec, method="interleaved",
+                           inference="hmc",
+                           num_chains=16 if q else 64,
+                           num_warmup=300 if q else 1500,
+                           num_samples=300 if q else 1000,
+                           num_leapfrog_steps=8 if q else 16, seed=0)
+        ok = (res.summary["rhat_max"] < (1.6 if q else 1.2)
+              and np.isfinite(res.summary["ess_min"]))
+        record(4, "german_credit iHMC", res.summary, ok,
+               f"ess_min={res.summary['ess_min']:.0f}, "
+               f"rhat={res.summary['rhat_max']:.3f}")
+
+    # ---- 5: election88 8192-chain NUTS -------------------------------
+    if 5 not in skip:
+        spec = get_model("election88")
+        res = run_and_save("5-election88-nuts", spec, method="ncp",
+                           inference="nuts",
+                           num_chains=64 if q else 8192,
+                           num_warmup=100 if q else 300,
+                           num_samples=100 if q else 300,
+                           max_tree_depth=6, seed=0)
+        ok = (res.summary["rhat_max"] < 1.1
+              and res.summary["ess_min"] > (50 if q else 5000))
+        record(5, "election88 8192-chain NUTS", res.summary, ok,
+               f"chains={res.summary['num_chains']}, "
+               f"ess_min={res.summary['ess_min']:.0f}, "
+               f"rhat={res.summary['rhat_max']:.3f}, "
+               f"wall={res.summary['wall_time_s']:.1f}s")
+
+    # ---- PARITY.md ----------------------------------------------------
+    lines = ["# PARITY — BASELINE config results",
+             "",
+             f"Mode: {'quick' if q else 'full'}; backend: "
+             f"{jax.default_backend()}; date: "
+             f"{time.strftime('%Y-%m-%d %H:%M')}",
+             "",
+             "| # | config | status | detail |",
+             "|---|--------|--------|--------|"]
+    for n, name, passed, note in checks:
+        lines.append(f"| {n} | {name} | "
+                     f"{'✅ PASS' if passed else '❌ FAIL'} | {note} |")
+    lines.append("")
+    lines.append(f"Raw results: `{args.results_dir}/`.")
+    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote PARITY.md")
+    if not all(c[2] for c in checks):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,16 @@ def test_sharded_nuts_runs():
     assert samples.shape == (100, C, 2)
     flat = np.asarray(samples).reshape(-1, 2)
     np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.2)
+
+
+def test_pipeline_shard_flag():
+    """run_experiment(shard=True) routes through the mesh runners."""
+    from autoreparam_tpu.inference.pipeline import run_experiment
+    from autoreparam_tpu.models import get_model
+
+    res = run_experiment(get_model("neals_funnel"), method="ncp",
+                         inference="hmc", num_chains=16, num_warmup=60,
+                         num_samples=60, num_leapfrog_steps=4, seed=0,
+                         shard=True)
+    assert np.isfinite(res.summary["ess_min"])
+    assert res.summary["rhat_max"] < 2.0
