@@ -40,6 +40,9 @@ flags.DEFINE_integer("seed", 0, "PRNG seed")
 flags.DEFINE_string("results_dir", "./results", "output directory")
 flags.DEFINE_bool("save_samples", False, "also save raw samples (.npz)")
 flags.DEFINE_bool("shard", False, "shard chains over all local devices")
+flags.DEFINE_list("leapfrog_sweep", None,
+                  "sweep --num_leapfrog_steps over these values "
+                  "(reference main.py's sweep loop), e.g. 2,4,8,16")
 
 
 def main(argv):
@@ -53,12 +56,22 @@ def main(argv):
     logging.info("model=%s method=%s inference=%s chains=%d",
                  spec.name, FLAGS.method, FLAGS.inference,
                  FLAGS.num_chains)
+    sweep = ([int(x) for x in FLAGS.leapfrog_sweep]
+             if FLAGS.leapfrog_sweep else [FLAGS.num_leapfrog_steps])
+    for num_leapfrog in sweep:
+        _run_one(spec, num_leapfrog)
+
+
+def _run_one(spec, num_leapfrog):
+    from ..inference.pipeline import run_experiment
+    from ..utils.results import save_result
+
     res = run_experiment(
         spec, method=FLAGS.method, inference=FLAGS.inference,
         num_chains=FLAGS.num_chains,
         num_warmup=FLAGS.burnin,
         num_samples=FLAGS.num_samples,
-        num_leapfrog_steps=FLAGS.num_leapfrog_steps,
+        num_leapfrog_steps=num_leapfrog,
         max_tree_depth=FLAGS.max_tree_depth,
         num_optimization_steps=FLAGS.num_optimization_steps,
         num_mc_samples=FLAGS.num_mc_samples,
@@ -67,6 +80,9 @@ def main(argv):
         seed=FLAGS.seed, shard=FLAGS.shard)
 
     s = res.summary
+    if FLAGS.leapfrog_sweep:
+        s["num_leapfrog_steps"] = num_leapfrog
+        s["method"] = f"{FLAGS.method}_L{num_leapfrog}"
     if FLAGS.inference == "vi":
         logging.info("ELBO = %.3f", s["elbo"])
     else:
