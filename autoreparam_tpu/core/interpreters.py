@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from . import handlers
-from .messenger import SampleMessage
 
 __all__ = [
     "log_density",

@@ -27,7 +27,6 @@ Design notes:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -21,8 +21,7 @@ Written for single-chain state; batching is pure `jax.vmap`.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Gradient cost: 2× per outer sample; report ESS/grad with
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ averaging + windowed Welford mass machinery from hmc.py.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -18,7 +18,7 @@ the benchmarks exercise, and that is preserved.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ so they are inert in the dynamics).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

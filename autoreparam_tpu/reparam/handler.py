@@ -15,10 +15,10 @@ from typing import Callable, Dict, Optional
 import jax.numpy as jnp
 
 from ..core import handlers
-from ..core.interpreters import ModelInfo, get_model_info
+from ..core.interpreters import ModelInfo
 from ..core.messenger import Messenger, SampleMessage
 from . import strategies
-from .strategies import AUX_SUFFIX, CP, NCP, VIP, ReparamStrategy, aux_name
+from .strategies import AUX_SUFFIX, CP, NCP, VIP, ReparamStrategy
 
 __all__ = ["reparam", "eligible_sites", "make_ncp_model", "make_vip_model",
            "make_cp_model", "recover_fn"]

@@ -25,7 +25,7 @@ reference's `german_credit_lognormalcentered` model (BASELINE config #4).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ check into PARITY.md.  --quick shrinks sizes for CI smoke.
 """
 
 import argparse
-import json
 import os
 import sys
 import time

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Regenerate the paper's headline comparison: model zoo × method,
+ESS per 1000 gradients (min over dims) — the reference's main result
+table/figure (SURVEY.md §7: the build must regenerate these numbers,
+not copy them).
+
+    python experiments/run_zoo.py [--quick] [--models a,b] [--methods x,y]
+
+Writes one results JSON per (model × method) into --results_dir; then
+`python -m autoreparam_tpu.cli.graphs --results_dir=...` renders the
+ESS bars + λ heatmaps + LaTeX table.
+"""
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_MODELS = ["eight_schools", "neals_funnel", "radon",
+                  "german_credit_lognormalcentered", "election88",
+                  "electric"]
+DEFAULT_METHODS = ["cp", "ncp", "cvip", "dvip", "interleaved"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--models", default=",".join(DEFAULT_MODELS))
+    ap.add_argument("--methods", default=",".join(DEFAULT_METHODS))
+    ap.add_argument("--results_dir",
+                    default=os.path.join(REPO, "results", "zoo"))
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models import get_model
+    from autoreparam_tpu.utils.results import save_result
+
+    q = args.quick
+    size = dict(num_chains=16 if q else 128,
+                num_warmup=300 if q else 1500,
+                num_samples=300 if q else 1000,
+                num_leapfrog_steps=8 if q else 16,
+                num_optimization_steps=800 if q else 3000,
+                learning_rate=0.05, seed=0)
+
+    for model_name in args.models.split(","):
+        dataset = "MN" if model_name == "radon" else None
+        spec = get_model(model_name, dataset)
+        for method in args.methods.split(","):
+            tag = f"{spec.name} × {method}"
+            t0 = time.time()
+            try:
+                res = run_experiment(spec, method=method,
+                                     inference="hmc", **size)
+                res.summary["total_time_s"] = time.time() - t0
+                save_result(args.results_dir, res.summary)
+                print(f"[zoo] {tag}: ess/grad(min)="
+                      f"{res.summary['ess_per_grad_min']:.3f} "
+                      f"rhat={res.summary['rhat_max']:.2f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+            except Exception:
+                print(f"[zoo] {tag}: ERROR", flush=True)
+                traceback.print_exc()
+
+
+if __name__ == "__main__":
+    main()
