@@ -30,6 +30,9 @@ flags.DEFINE_enum("inference", "hmc",
 flags.DEFINE_integer("num_chains", 128, "parallel chains")
 flags.DEFINE_integer("num_samples", 1000, "posterior samples per chain")
 flags.DEFINE_integer("burnin", 1000, "warmup steps (adaptation)")
+flags.DEFINE_integer("num_adaptation_steps", None,
+                     "alias for --burnin (reference flag name); wins "
+                     "when both are set")
 flags.DEFINE_integer("num_leapfrog_steps", 16, "leapfrog steps (HMC)")
 flags.DEFINE_integer("max_tree_depth", 8, "max tree depth (NUTS)")
 flags.DEFINE_integer("num_optimization_steps", 3000, "VI Adam steps")
@@ -69,7 +72,9 @@ def _run_one(spec, num_leapfrog):
     res = run_experiment(
         spec, method=FLAGS.method, inference=FLAGS.inference,
         num_chains=FLAGS.num_chains,
-        num_warmup=FLAGS.burnin,
+        num_warmup=(FLAGS.num_adaptation_steps
+                    if FLAGS.num_adaptation_steps is not None
+                    else FLAGS.burnin),
         num_samples=FLAGS.num_samples,
         num_leapfrog_steps=num_leapfrog,
         max_tree_depth=FLAGS.max_tree_depth,

@@ -78,3 +78,14 @@ def test_bad_method_and_inference_raise():
         run_experiment(spec, method="bogus")
     with pytest.raises(ValueError):
         run_experiment(spec, inference="bogus")
+
+
+def test_config_presets():
+    from autoreparam_tpu.utils.config import get_config, run_from_config
+
+    c = get_config("neals_funnel")
+    assert c.num_leapfrog_steps == 8
+    c.num_chains, c.num_warmup, c.num_samples = 8, 60, 60
+    c.method = "ncp"
+    res = run_from_config(c)
+    assert np.isfinite(res.summary["ess_min"])
