@@ -112,3 +112,37 @@ def test_potential_is_jit_and_vmap_safe():
     out = jax.jit(jax.vmap(pot))(batch)
     assert out.shape == (8,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_predictive_and_prior_predictive():
+    from autoreparam_tpu.core.predictive import Predictive, prior_predictive
+
+    # prior predictive: y resampled, shapes carry the draw axis
+    pp = prior_predictive(toy_model, jax.random.PRNGKey(0), 16, (Y,))
+    assert pp["obs"].shape == (16, 4)
+    assert pp["mu"].shape == (16,)
+
+    # posterior predictive: condition latents on given draws
+    post = {"mu": jnp.linspace(-1, 1, 16),
+            "sigma": jnp.full((16,), 0.01)}
+    pred = Predictive(toy_model, post)
+    out = pred(jax.random.PRNGKey(1), Y)
+    assert out["obs"].shape == (16, 4)
+    # with sigma ~ 0, predictive obs are pinned near mu
+    np.testing.assert_allclose(np.asarray(out["obs"]).mean(-1),
+                               np.linspace(-1, 1, 16), atol=0.05)
+    # deterministic site replayed
+    np.testing.assert_allclose(np.asarray(out["z"]),
+                               2 * np.linspace(-1, 1, 16), rtol=1e-5)
+
+
+def test_pointwise_log_likelihood():
+    from autoreparam_tpu.core.predictive import pointwise_log_likelihood
+    import scipy.stats as st
+
+    post = {"mu": jnp.asarray([0.0, 1.0]),
+            "sigma": jnp.asarray([1.0, 2.0])}
+    ll = pointwise_log_likelihood(toy_model, post, (Y,))
+    assert ll["obs"].shape == (2, 4)
+    want = st.norm(0.0, 1.0).logpdf(np.asarray(Y))
+    np.testing.assert_allclose(np.asarray(ll["obs"][0]), want, rtol=1e-4)
