@@ -240,6 +240,9 @@ def run_experiment(spec: ModelSpec,
         "ess_per_sec_min": float(np.asarray(ess).min() / wall),
         "num_chains": num_chains,
         "num_samples": num_samples,
+        "divergence_rate": (float(np.asarray(
+            stats["divergences"]).mean())
+            if "divergences" in stats else None),
         "param_names": names,
         "latent_names": list(info.names),
     }
