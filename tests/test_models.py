@@ -59,3 +59,30 @@ def test_eligible_sites_on_zoo():
 def test_unknown_model_raises():
     with pytest.raises(KeyError):
         get_model("not_a_model")
+
+
+def test_election88_cells_exact_sufficient_stats():
+    """Binned Binomial likelihood == respondent-level Bernoulli
+    likelihood (same log-joint up to the data-permutation constant
+    C(n,k) terms' difference: the binomial coefficient is constant in
+    the parameters, so gradients and posteriors are identical)."""
+    from autoreparam_tpu.core import log_density
+
+    binned = get_model("election88")
+    raw = get_model("election88", "raw")
+    params = {"mua": 0.2, "b_female": -0.1, "b_black": -1.0,
+              "sigma_a": 0.5}
+    import jax.numpy as jnp
+    import scipy.special as sp
+    a = 0.1 * np.cos(np.arange(51)).astype(np.float32)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    params["a"] = jnp.asarray(a)
+    lp_b, _ = log_density(binned.model, binned.args, {}, params)
+    lp_r, _ = log_density(raw.model, raw.args, {}, params)
+    # remove the parameter-independent log C(n,k) sum from the binomial
+    total = np.asarray(binned.args[3], np.float64)
+    yes = np.asarray(binned.args[4], np.float64)
+    log_comb = (sp.gammaln(total + 1) - sp.gammaln(yes + 1)
+                - sp.gammaln(total - yes + 1)).sum()
+    np.testing.assert_allclose(float(lp_b) - log_comb, float(lp_r),
+                               rtol=2e-5)
