@@ -15,6 +15,7 @@ check into PARITY.md.  --quick shrinks sizes for CI smoke.
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -162,18 +163,30 @@ def main():
                f"rhat={res.summary['rhat_max']:.3f}, "
                f"wall={res.summary['wall_time_s']:.1f}s")
 
-    # ---- PARITY.md ----------------------------------------------------
+    # ---- PARITY.md (merged across invocations) ------------------------
+    state_path = os.path.join(args.results_dir, "checks.json")
+    merged = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            merged = {int(k): v for k, v in json.load(f).items()}
+    for n, name, passed, note in checks:
+        merged[n] = {"name": name, "passed": bool(passed), "note": note,
+                     "mode": "quick" if q else "full",
+                     "backend": jax.default_backend(),
+                     "date": time.strftime("%Y-%m-%d %H:%M")}
+    os.makedirs(args.results_dir, exist_ok=True)
+    with open(state_path, "w") as f:
+        json.dump(merged, f, indent=1)
     lines = ["# PARITY — BASELINE config results",
              "",
-             f"Mode: {'quick' if q else 'full'}; backend: "
-             f"{jax.default_backend()}; date: "
-             f"{time.strftime('%Y-%m-%d %H:%M')}",
-             "",
-             "| # | config | status | detail |",
-             "|---|--------|--------|--------|"]
-    for n, name, passed, note in checks:
-        lines.append(f"| {n} | {name} | "
-                     f"{'✅ PASS' if passed else '❌ FAIL'} | {note} |")
+             "| # | config | status | mode | detail |",
+             "|---|--------|--------|------|--------|"]
+    for n in sorted(merged):
+        c = merged[n]
+        lines.append(
+            f"| {n} | {c['name']} | "
+            f"{'✅ PASS' if c['passed'] else '❌ FAIL'} | "
+            f"{c['mode']}/{c['backend']} {c['date']} | {c['note']} |")
     lines.append("")
     lines.append(f"Raw results: `{args.results_dir}/`.")
     with open(os.path.join(REPO, "PARITY.md"), "w") as f:
