@@ -391,6 +391,40 @@ class Poisson(Distribution):
         return x * self._log_rate - jnp.exp(self._log_rate) - gammaln(x + 1.0)
 
 
+class NormalSufficientStats(Distribution):
+    """Likelihood of n iid N(loc, scale) observations through their
+    sufficient statistics (n, ȳ, Σ(y−ȳ)²) — an *exact* collapse used to
+    shrink grouped-Gaussian likelihoods (radon: 919 homes → 170
+    county×floor cells) so the per-chain gradient is cell-count-bound.
+
+    `log_prob(ybar)` returns the full joint log-density of the n
+    original observations:
+        -n/2·log 2π − n·log σ − (ss + n(ȳ−loc)²) / (2σ²)
+    """
+
+    def __init__(self, loc, scale, n, sum_sq_dev):
+        self.loc = loc
+        self.scale = scale
+        self.n = n
+        self.sum_sq_dev = sum_sq_dev
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale, self.n, self.sum_sq_dev)
+
+    def sample(self, key, sample_shape=()):
+        # the mean of n draws: ȳ ~ N(loc, scale/√n)
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale / jnp.sqrt(self.n) * z
+
+    def log_prob(self, ybar):
+        n, s = self.n, self.scale
+        dev = ybar - self.loc
+        return (-0.5 * n * _LOG_2PI - n * jnp.log(s)
+                - (self.sum_sq_dev + n * dev * dev) / (2.0 * s * s))
+
+
 class Delta(Distribution):
     """Point mass; log_prob is 0 at the point (used for deterministic
     bookkeeping only, never as an HMC latent)."""

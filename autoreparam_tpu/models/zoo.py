@@ -124,7 +124,8 @@ def _neals_funnel(dataset=None) -> ModelSpec:
 def radon_model(county_idx, floor_x, log_uranium, y, n_counties):
     """Varying-intercept + varying-slope radon model, the reference's
     "radon" family (SURVEY.md §3.1): county intercepts shrink toward a
-    state-level regression on soil uranium."""
+    state-level regression on soil uranium.  Respondent-level variant
+    (`get_model("radon", "MN:raw")`)."""
     mua = sample("mua", d.Normal(0.0, 1.0))
     b_uranium = sample("b", d.Normal(0.0, 1.0))
     sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
@@ -135,19 +136,82 @@ def radon_model(county_idx, floor_x, log_uranium, y, n_counties):
     sample("y", d.Normal(mu_y, sigma_y), obs=y)
 
 
+def radon_model_binned(cell_county, cell_floor, cell_n, cell_ybar,
+                       cell_ss, log_uranium, n_counties):
+    """Same posterior through exact Gaussian sufficient statistics per
+    (county × floor) cell: the common-σ_y normal likelihood over ~919
+    homes collapses to ≤2·n_counties cells (n, ȳ, Σ(y−ȳ)²), making the
+    per-chain gradient cell-bound instead of household-bound — the
+    default radon variant on TPU (equivalence-tested vs the raw model)."""
+    mua = sample("mua", d.Normal(0.0, 1.0))
+    b_uranium = sample("b", d.Normal(0.0, 1.0))
+    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
+    a = sample("a", d.Normal(mua + b_uranium * log_uranium, sigma_a))
+    b_floor = sample("b_floor", d.Normal(0.0, 1.0))
+    sigma_y = sample("sigma_y", d.HalfCauchy(1.0))
+    mu_cell = a[cell_county] + b_floor * cell_floor
+    sample("y", d.NormalSufficientStats(mu_cell, sigma_y, cell_n,
+                                        cell_ss), obs=cell_ybar)
+
+
+def _radon_cells(ds):
+    import numpy as np
+
+    floor_i = ds["floor"].astype(np.int64)
+    key = ds["county_idx"].astype(np.int64) * 2 + floor_i
+    n_cells = int(ds["n_counties"]) * 2
+    y = ds["log_radon"].astype(np.float64)
+    n = np.bincount(key, minlength=n_cells)
+    s1 = np.bincount(key, weights=y, minlength=n_cells)
+    s2 = np.bincount(key, weights=y * y, minlength=n_cells)
+    nz = n > 0
+    ids = np.nonzero(nz)[0]
+    ybar = s1[nz] / n[nz]
+    ss = s2[nz] - n[nz] * ybar ** 2
+    return {
+        "cell_county": (ids // 2).astype(np.int32),
+        "cell_floor": (ids % 2).astype(np.float32),
+        "cell_n": n[nz].astype(np.float32),
+        "cell_ybar": ybar.astype(np.float32),
+        "cell_ss": np.maximum(ss, 0.0).astype(np.float32),
+    }
+
+
 @register("radon")
 def _radon(dataset="MN") -> ModelSpec:
-    ds = data_lib.load_radon(dataset)
+    raw = dataset is not None and dataset.endswith(":raw")
+    state = dataset.split(":")[0] if dataset else "MN"
+    ds = data_lib.load_radon(state)
+    if raw:
+        return ModelSpec(
+            name=f"radon_{state}_raw",
+            model=radon_model,
+            args=(jnp.asarray(ds["county_idx"]), jnp.asarray(ds["floor"]),
+                  jnp.asarray(ds["log_uranium"]),
+                  jnp.asarray(ds["log_radon"]),
+                  int(ds["n_counties"])),
+            kwargs={},
+            description=f"Hierarchical radon model, state={state}, "
+                        f"respondent-level: {len(ds['log_radon'])} homes, "
+                        f"{ds['n_counties']} counties.",
+            observed=("y",),
+        )
+    cells = _radon_cells(ds)
     return ModelSpec(
-        name=f"radon_{dataset}",
-        model=radon_model,
-        args=(jnp.asarray(ds["county_idx"]), jnp.asarray(ds["floor"]),
-              jnp.asarray(ds["log_uranium"]), jnp.asarray(ds["log_radon"]),
+        name=f"radon_{state}",
+        model=radon_model_binned,
+        args=(jnp.asarray(cells["cell_county"]),
+              jnp.asarray(cells["cell_floor"]),
+              jnp.asarray(cells["cell_n"]),
+              jnp.asarray(cells["cell_ybar"]),
+              jnp.asarray(cells["cell_ss"]),
+              jnp.asarray(ds["log_uranium"]),
               int(ds["n_counties"])),
         kwargs={},
-        description=f"Hierarchical radon model, state={dataset}: "
-                    f"{len(ds['log_radon'])} homes, {ds['n_counties']} "
-                    "counties; varying intercepts w/ uranium predictor.",
+        description=f"Hierarchical radon model, state={state}: "
+                    f"{len(ds['log_radon'])} homes collapsed to "
+                    f"{len(cells['cell_n'])} county×floor cells (exact "
+                    f"sufficient statistics), {ds['n_counties']} counties.",
         observed=("y",),
     )
 

@@ -90,17 +90,27 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
                                 spec.args)
         return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im)
 
+    def _sync(x):
+        # block_until_ready is unreliable through the axon tunnel
+        # (returns before execution completes); a host fetch of one
+        # element is a true synchronization point.
+        jax.block_until_ready(x)
+        import numpy as _np
+        _np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+
     # compile
     t0 = time.perf_counter()
     out = run(init, k_run, vi.lam, inv_mass)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_and_first = time.perf_counter() - t0
     log(f"HMC compile+first: {compile_and_first:.1f}s")
-    # steady state
+    # steady state: two back-to-back runs, fetch-synced, averaged
     t0 = time.perf_counter()
     samples, stats = run(init, k_run, vi.lam, inv_mass)
-    jax.block_until_ready(samples)
-    wall = time.perf_counter() - t0
+    _sync(samples)
+    samples, stats = run(init, k_run, vi.lam, inv_mass)
+    _sync(samples)
+    wall = (time.perf_counter() - t0) / 2.0
     log(f"HMC steady: {wall:.2f}s")
 
     # ESS on model-space samples (min over all dims)

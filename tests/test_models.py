@@ -30,18 +30,21 @@ def test_registry_dims():
     info = get_model_info(*(lambda s: (s.model, s.args))(
         get_model("eight_schools")))
     assert info.dim == 10  # mu, log_tau, theta(8)
-    spec = get_model("radon", "MN")
+    spec = get_model("radon", "MN:raw")
     assert spec.args[0].shape[0] == 919
     info = get_model_info(spec.model, spec.args)
     assert info.dim == 85 + 5  # a(85) + mua, b, sigma_a, b_floor, sigma_y
+    binned = get_model("radon", "MN")
+    assert binned.args[0].shape[0] <= 2 * 85  # county x floor cells
+    assert get_model_info(binned.model, binned.args).dim == 90
     spec = get_model("election88")
     info = get_model_info(spec.model, spec.args)
     assert info.dim == 51 + 4
 
 
 def test_radon_states_distinct():
-    mn = get_model("radon", "MN")
-    nd = get_model("radon", "ND")
+    mn = get_model("radon", "MN:raw")
+    nd = get_model("radon", "ND:raw")
     assert mn.args[0].shape[0] == 919
     assert nd.args[0].shape[0] == 431
 
@@ -86,3 +89,37 @@ def test_election88_cells_exact_sufficient_stats():
                 - sp.gammaln(total - yes + 1)).sum()
     np.testing.assert_allclose(float(lp_b) - log_comb, float(lp_r),
                                rtol=2e-5)
+
+
+def test_radon_cells_exact_sufficient_stats():
+    """Binned Gaussian-sufficient-stats likelihood == respondent-level
+    likelihood exactly (same parameters -> same log-joint)."""
+    from autoreparam_tpu.core import log_density
+    import jax.numpy as jnp
+
+    binned = get_model("radon", "MN")
+    raw = get_model("radon", "MN:raw")
+    n_c = 85
+    params = {"mua": jnp.float32(0.3), "b": jnp.float32(0.5),
+              "sigma_a": jnp.float32(0.2),
+              "a": jnp.asarray(1.4 + 0.1 * np.sin(np.arange(n_c)),
+                               jnp.float32),
+              "b_floor": jnp.float32(-0.6),
+              "sigma_y": jnp.float32(0.8)}
+    lp_b, _ = log_density(binned.model, binned.args, {}, params)
+    lp_r, _ = log_density(raw.model, raw.args, {}, params)
+    np.testing.assert_allclose(float(lp_b), float(lp_r), rtol=3e-5)
+
+
+def test_normal_suffstats_dist():
+    from autoreparam_tpu import dists as d
+    import scipy.stats as st
+
+    y = np.array([0.3, -0.7, 1.1, 0.5], np.float32)
+    loc, scale = 0.2, 1.3
+    ybar = y.mean()
+    ss = ((y - ybar) ** 2).sum()
+    dist = d.NormalSufficientStats(loc, scale, 4.0, ss)
+    want = st.norm(loc, scale).logpdf(y).sum()
+    np.testing.assert_allclose(float(dist.log_prob(ybar)), want,
+                               rtol=1e-5)
