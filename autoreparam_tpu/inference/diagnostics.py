@@ -58,22 +58,32 @@ def autocovariance(x, axis: int = 0, max_lags: int = None):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _direct_acov(xc, K: int):
-    """All lags 0..K in ONE compiled scan (a Python loop of eager ops
-    would pay one device dispatch per lag — fatal through the TPU
-    tunnel).  Each step rolls by one and masks the wrap-around."""
+    """All lags 0..K as ONE grouped 1-D self-correlation.
+
+    acov_k = Σ_t x_t·x_{t+k} is a correlation of each series with
+    itself; expressing it as `lax.conv_general_dilated` with one feature
+    group per series lets XLA lower the whole thing onto the MXU in a
+    single kernel.  (Earlier formulations — a Python loop of eager ops,
+    or a scan of rolls — were dispatch-bound / badly tiled on TPU.)
+    """
     S = xc.shape[0]
-    t_idx = jnp.arange(S).reshape((S,) + (1,) * (xc.ndim - 1))
-
-    def step(carry, k):
-        rolled = carry
-        # rolled holds xc shifted by k (wrapped); mask the wrapped tail
-        valid = (t_idx < S - k).astype(xc.dtype)
-        acov_k = jnp.sum(xc * rolled * valid, axis=0) / S
-        next_rolled = jnp.roll(rolled, -1, axis=0)
-        return next_rolled, acov_k
-
-    _, acovs = jax.lax.scan(step, xc, jnp.arange(K + 1))
-    return acovs
+    trailing = xc.shape[1:]
+    B = 1
+    for d in trailing:
+        B *= d
+    x2 = xc.reshape(S, B).T                       # (B, S)
+    lhs = jnp.pad(x2, ((0, 0), (0, K)))[None]     # (1, B, S+K)
+    rhs = x2[:, None, :]                          # (B, 1, S)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=B,
+        preferred_element_type=jnp.float32,
+    )                                             # (1, B, K+1)
+    acov = out[0].T / S                           # (K+1, B)
+    return acov.reshape((K + 1,) + trailing)
 
 
 def potential_scale_reduction(samples):

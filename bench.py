@@ -96,7 +96,7 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         # element is a true synchronization point.
         jax.block_until_ready(x)
         import numpy as _np
-        _np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+        _np.asarray(jax.tree.leaves(x)[0].ravel()[0:1])
 
     # compile
     t0 = time.perf_counter()

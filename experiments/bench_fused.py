@@ -46,21 +46,27 @@ def main():
     key = jax.random.PRNGKey(0)
     init = 0.3 * jax.random.normal(key, (C, D))
 
+    import numpy as np
+
+    def _sync(x):
+        # block_until_ready returns early through the axon tunnel; a
+        # host fetch is a true sync point.
+        jax.block_until_ready(x)
+        np.asarray(jax.tree.leaves(x)[0].ravel()[0:1])
+
     def measure(tag, kernel_impl):
         run = jax.jit(lambda i, k: H.run_hmc(
             pot, i, k, cfg, kernel_impl=kernel_impl))
         k0, k1, k2 = jax.random.split(key, 3)
         t0 = time.perf_counter()
         out = run(init, k0)
-        jax.block_until_ready(out)
+        _sync(out)
         compile_s = time.perf_counter() - t0
-        walls = []
+        t0 = time.perf_counter()
         for kk in (k1, k2):
-            t0 = time.perf_counter()
             samples, stats = run(init, kk)
-            jax.block_until_ready(samples)
-            walls.append(time.perf_counter() - t0)
-        wall = max(min(walls), 1e-6)
+            _sync(samples)
+        wall = max((time.perf_counter() - t0) / 2.0, 1e-6)
         steps = (cfg.num_warmup + cfg.num_samples) * L * C
         acc = float(jnp.mean(stats["accept_prob"]))
         print(json.dumps({

@@ -58,17 +58,24 @@ def main():
                                 spec.args)
         return H.run_hmc(pot, i, k, cfg)
 
+    def _sync(x):
+        jax.block_until_ready(x)
+        np.asarray(jax.tree.leaves(x)[0].ravel()[0:1])
+
     points = []
     for C in [int(x) for x in args.chains.split(",")]:
         init = 0.1 * jax.random.normal(key, (C, info.dim))
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, C), 3)
         t0 = time.perf_counter()
-        out = run(init, key, lam0)
-        jax.block_until_ready(out)
+        out = run(init, k1, lam0)
+        _sync(out)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        samples, stats = run(init, key, lam0)
-        jax.block_until_ready(samples)
-        wall = time.perf_counter() - t0
+        samples, stats = run(init, k2, lam0)
+        _sync(samples)
+        samples, stats = run(init, k3, lam0)
+        _sync(samples)
+        wall = (time.perf_counter() - t0) / 2.0
         sub = min(1024, C)
         ess = np.asarray(dg.effective_sample_size(
             samples[:, :sub], max_lags=256)) * (C / sub)
