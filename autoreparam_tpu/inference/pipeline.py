@@ -115,7 +115,13 @@ def run_experiment(spec: ModelSpec,
         summary = {
             "elbo": float(np.asarray(vi_res.elbo_trace)[-100:].mean()),
             "method": method, "inference": "vi", "model": spec.name,
+            "vi_loc": np.asarray(vi_res.loc),
+            "vi_scale": np.asarray(vi_res.scale),
+            "latent_names": list(info.names),
         }
+        if lam is not None:
+            summary["lambda"] = {k: np.asarray(v)
+                                 for k, v in lam.items()}
         return ExperimentResult(None, {}, summary, vi_res, lam, info,
                                 sampled_model)
 
@@ -248,5 +254,13 @@ def run_experiment(spec: ModelSpec,
     }
     if lam is not None:
         summary["lambda"] = {k: np.asarray(v) for k, v in lam.items()}
+    if vi_res is not None:
+        # persist q* so the HMC phase is reproducible from artifacts
+        # alone (reference: VI outputs reloaded by the HMC phase,
+        # SURVEY.md §4.2/§6)
+        summary["vi_loc"] = np.asarray(vi_res.loc)
+        summary["vi_scale"] = np.asarray(vi_res.scale)
+        summary["vi_elbo"] = float(np.asarray(
+            vi_res.elbo_trace)[-100:].mean())
     return ExperimentResult(samples, stats, summary, vi_res, lam, info,
                             sampled_model)
