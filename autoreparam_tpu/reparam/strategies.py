@@ -111,9 +111,24 @@ class VIP(ReparamStrategy):
         loc, scale, base, push = _split_loc_scale(dist)
         # σ^λ via exp(λ·logσ): stable for σ>0, one log per site.
         log_scale = jnp.log(scale)
+        # The aux distribution's batch shape is broadcast(λ, loc, scale);
+        # an elementwise λ (the default: full site shape) already covers
+        # the site's sample_shape, so only the *uncovered* leading dims
+        # remain as the aux sample_shape — otherwise a site like
+        # Normal(mu, tau) with sample_shape=(8,) and λ of shape (8,)
+        # would produce an (8, 8) auxiliary.
+        param_shape = jnp.broadcast_shapes(jnp.shape(loc),
+                                           jnp.shape(scale))
+        site_shape = tuple(sample_shape) + param_shape
+        batch_shape = jnp.broadcast_shapes(jnp.shape(lam), param_shape)
+        extra = len(site_shape) - len(batch_shape)
+        if site_shape[extra:] != batch_shape:
+            raise ValueError(
+                f"VIP site {name!r}: lambda shape {jnp.shape(lam)} does "
+                f"not broadcast against site shape {site_shape}")
         aux = sample(aux_name(name),
                      base(lam * loc, jnp.exp(lam * log_scale)),
-                     sample_shape=sample_shape,
+                     sample_shape=site_shape[:extra],
                      _metadata={"aux_of": name, "strategy": "vip"})
         z = loc + jnp.exp((1.0 - lam) * log_scale) * (aux - lam * loc)
         return push(z)

@@ -192,3 +192,30 @@ def test_recover_fn():
         np.asarray(vals["theta"]),
         np.asarray(vals["mu"] + vals["tau"] * unc[aux_name("theta")]),
         rtol=1e-5)
+
+
+def test_vip_aux_shape_with_sample_shape_sites():
+    """Regression: a site with scalar params + sample_shape and an
+    elementwise lambda must produce an aux latent of the SITE shape,
+    not sample_shape + lambda-batch (was (8,8) for eight_schools)."""
+    from autoreparam_tpu.core import get_model_info
+
+    def m(y):
+        mu = sample("mu", d.Normal(0.0, 5.0))
+        tau = sample("tau", d.HalfNormal(1.0))
+        theta = sample("theta", d.Normal(mu, tau), sample_shape=(8,))
+        sample("obs", d.Normal(theta, 1.0), obs=y)
+
+    y = jnp.zeros((8,))
+    vip = make_vip_model(m, {"theta": jnp.full((8,), 0.3),
+                             "mu": jnp.float32(0.7)})
+    info = get_model_info(vip, (y,))
+    shapes = {s.name: s.shape for s in info.latents}
+    assert shapes[aux_name("theta")] == (8,), shapes
+    assert shapes[aux_name("mu")] == (), shapes
+    assert info.dim == 10
+    # scalar (tied) lambda on a sample_shape site also works
+    vip2 = make_vip_model(m, {"theta": jnp.float32(0.3)})
+    info2 = get_model_info(vip2, (y,))
+    shapes2 = {s.name: s.shape for s in info2.latents}
+    assert shapes2[aux_name("theta")] == (8,), shapes2
