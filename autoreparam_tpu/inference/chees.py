@@ -171,11 +171,15 @@ def run_chees(potential_fn: Callable,
         # Adam ascent on log T with the normalized ChEES gradient
         g = chees_grad * jnp.exp(log_T)  # chain rule d/dlogT
         g = g / (jnp.abs(g) + 1e-12)     # sign-normalized (robust)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
         adam, step = adam_update(adam, -g, cfg.adam_lr)
-        log_T = log_T - step
-        # cap T so trajectories stay under max_leapfrog
-        log_T = jnp.minimum(
-            log_T, jnp.log(cfg.max_leapfrog_steps * jnp.exp(da.log_eps)))
+        log_T_new = log_T - step
+        # keep T finite and within [1, max_leapfrog] steps at current ε
+        log_T_new = jnp.where(jnp.isfinite(log_T_new), log_T_new, log_T)
+        log_T = jnp.clip(
+            log_T_new,
+            da.log_eps,
+            jnp.log(float(cfg.max_leapfrog_steps)) + da.log_eps)
         if cfg.adapt_mass:
             ens_var = jnp.var(z, axis=0) + 1e-6
             inv_mass = (cfg.mass_ema * inv_mass

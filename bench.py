@@ -12,10 +12,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ESS/s", "vs_baseline": N}
 
 Method: cVIP pipeline — short VI phase learns per-variable lambda, then
-HMC with q*-derived diagonal mass, 8192 chains on one chip.  ESS is the
+the ChEES-HMC engine (cross-chain adaptive trajectory lengths; BENCH
+ENGINE env var selects "chees" (default) or fixed-L "hmc") with
+q*-derived diagonal mass, 8192 chains on one chip.  ESS is the
 min-over-dimensions cross-chain ESS of model-space samples; wall time is
 the steady-state (post-compile) warmup+sampling time.  Compile time is
 excluded (it is a one-off; reported separately in the breakdown).
+The CPU baseline runs the reference-style fixed-L HMC pipeline (the
+engine the reference had), 4 chains.
 """
 
 import json
@@ -34,7 +38,7 @@ def log(msg):
 
 
 def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
-                 vi_steps, seed=0):
+                 vi_steps, seed=0, engine="hmc"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -84,11 +88,24 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     init = vi.loc + vi.scale * eps
     inv_mass = vi.scale ** 2
 
-    @jax.jit
-    def run(i, k, lam, im):
-        pot = make_potential_fn(make_vip_model(spec.model, lam), info,
-                                spec.args)
-        return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im)
+    if engine == "chees":
+        from autoreparam_tpu.inference.chees import (CheesConfig,
+                                                     run_chees)
+        ccfg = CheesConfig(num_warmup=num_warmup,
+                           num_samples=num_samples,
+                           max_leapfrog_steps=256)
+
+        @jax.jit
+        def run(i, k, lam, im):
+            pot = make_potential_fn(make_vip_model(spec.model, lam),
+                                    info, spec.args)
+            return run_chees(pot, i, k, ccfg, inv_mass_diag=im)
+    else:
+        @jax.jit
+        def run(i, k, lam, im):
+            pot = make_potential_fn(make_vip_model(spec.model, lam),
+                                    info, spec.args)
+            return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im)
 
     def _sync(x):
         # block_until_ready is unreliable through the axon tunnel
@@ -136,7 +153,15 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     ess = np.asarray(ess_sub) * (C / C_tau)
     log(f"ESS: {time.perf_counter()-t0:.1f}s")
     rhat = np.asarray(dg.potential_scale_reduction(arr))
+    extra = {}
+    if engine == "chees":
+        extra = {"trajectory_length": float(np.asarray(
+                     stats["trajectory_length"])),
+                 "mean_leapfrog_per_sample": float(np.asarray(
+                     stats["num_grad_evals_per_sample"]))}
     return {
+        "engine": engine,
+        **extra,
         "ess_min": float(ess.min()),
         "ess_mean": float(ess.mean()),
         "rhat_max": float(rhat.max()),
@@ -185,7 +210,8 @@ def main():
         num_warmup=int(os.environ.get("BENCH_WARMUP", 500)),
         num_samples=int(os.environ.get("BENCH_SAMPLES", 500)),
         num_leapfrog=16,
-        vi_steps=int(os.environ.get("BENCH_VI_STEPS", 1500)))
+        vi_steps=int(os.environ.get("BENCH_VI_STEPS", 1500)),
+        engine=os.environ.get("BENCH_ENGINE", "chees"))
     try:
         base = cpu_baseline()
         vs = res["ess_per_sec"] / base["ess_per_sec"]
