@@ -103,3 +103,20 @@ def test_pipeline_shard_flag():
                          shard=True)
     assert np.isfinite(res.summary["ess_min"])
     assert res.summary["rhat_max"] < 2.0
+
+
+def test_sharded_chees_runs():
+    from autoreparam_tpu.inference.chees import CheesConfig
+    from autoreparam_tpu.parallel import run_chees_sharded
+
+    mesh = make_mesh()
+    C = 16
+    key = jax.random.PRNGKey(4)
+    init = jax.random.normal(key, (C, 2))
+    cfg = CheesConfig(num_warmup=100, num_samples=100,
+                      max_leapfrog_steps=32)
+    samples, stats = run_chees_sharded(quad_pot, init, key, mesh,
+                                       config=cfg)
+    assert samples.shape == (100, C, 2)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.25)
