@@ -87,3 +87,39 @@ def test_eight_schools_cp_ncp_agree():
     # loose golden range from the literature (documented posterior of the
     # N(0,5)/N(0,5) parameterisation): mu posterior mean ~ 4-5
     assert 2.0 < mu_cp.mean() < 7.0
+
+
+def test_all_methods_agree_on_posterior():
+    """SURVEY.md §5 item 3: CP, NCP, cVIP, dVIP, iHMC on the same model
+    agree in posterior means within MC error — the reference's own
+    headline invariant, checked end-to-end through run_experiment."""
+    from autoreparam_tpu.inference.pipeline import run_experiment
+    from autoreparam_tpu.models.zoo import ModelSpec
+    from autoreparam_tpu import dists as d
+    from autoreparam_tpu.core import sample as smp
+
+    y = jnp.asarray([1.2, 0.4, 0.9, 1.6, 0.2, 1.1])
+
+    def m(y):
+        mu = smp("mu", d.Normal(0.0, 3.0))
+        tau = smp("tau", d.HalfNormal(1.0))
+        theta = smp("theta", d.Normal(mu, tau), sample_shape=(6,))
+        smp("obs", d.Normal(theta, 0.5), obs=y)
+
+    spec = ModelSpec(name="consistency", model=m, args=(y,), kwargs={},
+                     description="", observed=("obs",))
+    means, ses = {}, {}
+    for method in ["cp", "ncp", "cvip", "dvip", "interleaved"]:
+        res = run_experiment(spec, method=method, inference="hmc",
+                             num_chains=16, num_warmup=300,
+                             num_samples=300, num_leapfrog_steps=8,
+                             num_optimization_steps=800,
+                             learning_rate=0.05, seed=0)
+        i = res.summary["param_names"].index("mu")
+        means[method] = res.summary["mean"][i]
+        ses[method] = (res.summary["std"][i]
+                       / np.sqrt(max(res.summary["ess"][i], 4.0)))
+    ref = means["ncp"]
+    for method, mval in means.items():
+        tol = 5 * np.hypot(ses[method], ses["ncp"]) + 0.05
+        assert abs(mval - ref) < tol, (method, mval, ref, tol)
