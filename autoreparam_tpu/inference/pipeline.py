@@ -220,6 +220,11 @@ def run_experiment(spec: ModelSpec,
                          [f"{spec_l.name}[{i}]"
                           for i in range(spec_l.size)])
 
+    # fraction of finite draws per dim (f32 exp-overflow in model-space
+    # recovery of nearly-unidentified scales can produce inf; surface it
+    # rather than silently propagating NaN through the moments)
+    finite_mask = jnp.isfinite(sample_array)
+    finite_frac = jnp.mean(finite_mask.astype(jnp.float32), axis=(0, 1))
     summ = dg.summarize(sample_array)
     ess = summ["ess"]
     if method == "interleaved":
@@ -249,6 +254,7 @@ def run_experiment(spec: ModelSpec,
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),
+        "finite_fraction_min": float(np.asarray(finite_frac).min()),
         "param_names": names,
         "latent_names": list(info.names),
     }
