@@ -246,6 +246,13 @@ class HMCConfig(NamedTuple):
     adapt_mass: bool = True
     divergence_threshold: float = 1000.0
     thin: int = 1
+    #: pool adaptation statistics across the chain batch: one shared
+    #: step size driven by the cross-chain harmonic-mean acceptance and
+    #: a mass matrix from cross-chain-pooled variances.  With thousands
+    #: of chains this is both statistically stronger and cheaper than
+    #: per-chain adaptation (the chain axis is an ensemble estimator);
+    #: under sharding the pooling means become ICI collectives.
+    share_adaptation: bool = False
 
 
 def run_hmc(potential_fn: Callable,
@@ -300,10 +307,30 @@ def run_hmc(potential_fn: Callable,
         keys = jax.random.split(key, C)
         step_size = jnp.exp(da.log_eps)
         state, info = v_kernel(state, keys, step_size, inv_mass)
-        da = da_update(da, info.accept_prob, config.target_accept)
+        if config.share_adaptation:
+            # harmonic-mean acceptance across chains (robust to a few
+            # stuck chains), broadcast back to the (C,) DA state
+            pooled = 1.0 / jnp.mean(
+                1.0 / jnp.maximum(info.accept_prob, 1e-4))
+            da = da_update(da, jnp.full_like(info.accept_prob, pooled),
+                           config.target_accept)
+        else:
+            da = da_update(da, info.accept_prob, config.target_accept)
         # mass accumulation in slow windows (masked, per chain)
         if config.adapt_mass:
-            wf_new = jax.vmap(welford_update)(wf, state.z)
+            if config.share_adaptation:
+                # pool each draw's cross-chain moments into one Welford
+                # stream shared by all chains: the ensemble is C times
+                # more data per step than any single chain's history
+                zbar = jnp.mean(state.z, axis=0)
+                wf_new = jax.vmap(welford_update)(
+                    wf, jnp.broadcast_to(zbar, state.z.shape))
+                # ensemble spread enters via a parallel variance term
+                ens_var = jnp.var(state.z, axis=0)
+                wf_new = wf_new._replace(
+                    m2=wf_new.m2 + ens_var[None, :])
+            else:
+                wf_new = jax.vmap(welford_update)(wf, state.z)
             wf = jax.tree.map(
                 lambda a, b: jnp.where(
                     jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)), b, a)

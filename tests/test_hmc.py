@@ -89,3 +89,28 @@ def test_hmc_is_deterministic_given_key():
     s1, _ = H.run_hmc(pot, init, jax.random.PRNGKey(5), cfg)
     s2, _ = H.run_hmc(pot, init, jax.random.PRNGKey(5), cfg)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_hmc_shared_adaptation():
+    """Pooled cross-chain adaptation: one ensemble-driven step size +
+    mass; must recover the target and learn the scales at least as well
+    as per-chain adaptation."""
+    def pot(z):
+        return 0.5 * (z[0] ** 2 + z[1] ** 2 / 4.0)
+
+    C = 32
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (C, 2))
+    cfg = H.HMCConfig(num_warmup=300, num_samples=300,
+                      num_leapfrog_steps=8, init_step_size=0.2,
+                      share_adaptation=True)
+    samples, stats = H.run_hmc(pot, init, key, cfg)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), [1.0, 2.0], rtol=0.15)
+    learned = np.asarray(stats["inv_mass_diag"]).mean(0)
+    np.testing.assert_allclose(learned, [1.0, 4.0], rtol=0.35)
+    # shared step size: all chains identical
+    ss = np.asarray(stats["step_size"])
+    np.testing.assert_allclose(ss, ss[0], rtol=1e-5)
+    acc = float(np.asarray(stats["accept_prob"]).mean())
+    assert 0.6 < acc < 0.98
