@@ -69,7 +69,8 @@ def run_experiment(spec: ModelSpec,
                    max_tree_depth: int = 8,
                    seed: int = 0,
                    collect_constrained: bool = True,
-                   shard: bool = False) -> ExperimentResult:
+                   shard: bool = False,
+                   share_adaptation: bool = True) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end."""
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
@@ -126,9 +127,13 @@ def run_experiment(spec: ModelSpec,
                                 sampled_model)
 
     # ---- MCMC --------------------------------------------------------
+    # pooled cross-chain adaptation by default: with a chain batch the
+    # ensemble is the better warmup estimator (measured 6.6x min-ESS on
+    # radon cVIP vs per-chain warmup; PERF.md)
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog_steps,
-                      target_accept=target_accept)
+                      target_accept=target_accept,
+                      share_adaptation=share_adaptation)
 
     inv_mass = None
     if vi_res is not None and method in ("cvip", "dvip"):
