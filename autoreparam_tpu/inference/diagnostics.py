@@ -128,7 +128,12 @@ def ess_from_moments(mean_acov, W, B_over_n, S: int, C: int):
     tau = -1.0 + 2.0 * jnp.sum(contrib, axis=0)
     tau = jnp.maximum(tau, 1.0 / jnp.asarray(S * C, dtype))
     ess = S * C / tau
-    return jnp.minimum(ess, jnp.asarray(S * C, dtype) * 1.0)
+    # Antithetic (super-efficient) chains legitimately have ESS > N;
+    # follow Stan's bound ESS <= N*log10(N) instead of a hard N cap so
+    # well-jittered chains aren't silently understated (tfp.mcmc applies
+    # no cap at all).
+    n = jnp.asarray(S * C, dtype)
+    return jnp.minimum(ess, n * jnp.maximum(jnp.log10(n), 1.0))
 
 
 def effective_sample_size(samples, chain_chunk: int = 512,

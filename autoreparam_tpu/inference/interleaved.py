@@ -193,8 +193,13 @@ def run_interleaved_hmc(model: Callable,
             warm_step,
             (z0, da_cp0, da_ncp0, wf0, wf0, im_cp0, im_ncp0),
             (jax.random.split(kw, config.num_warmup), is_slow, is_end))
-    ss_cp = jnp.exp(da_cp0.log_eps_bar)
-    ss_ncp = jnp.exp(da_ncp0.log_eps_bar)
+        ss_cp = jnp.exp(da_cp0.log_eps_bar)
+        ss_ncp = jnp.exp(da_ncp0.log_eps_bar)
+    else:
+        # mirror run_hmc's zero-warmup guard: log_eps_bar starts at 0, so
+        # exp() would silently override config.init_step_size with 1.0
+        ss_cp = jnp.full((C,), config.init_step_size, dtype)
+        ss_ncp = jnp.full((C,), config.init_step_size, dtype)
 
     if collect_fn is None:
         collect_fn = lambda z: z  # noqa: E731

@@ -76,6 +76,12 @@ def run_experiment(spec: ModelSpec,
         raise ValueError(f"method {method!r} not in {METHODS}")
     if inference not in INFERENCES:
         raise ValueError(f"inference {inference!r} not in {INFERENCES}")
+    if method == "interleaved" and inference != "hmc":
+        # iHMC is its own dual-kernel engine; silently running it under
+        # an 'nuts'/'chees' label would mislabel the result JSONs
+        raise ValueError(
+            "method='interleaved' implements its own dual-HMC kernel; "
+            "pass inference='hmc' (got {!r})".format(inference))
 
     key = jax.random.PRNGKey(seed)
     k_vi, k_init, k_run = jax.random.split(key, 3)

@@ -42,21 +42,24 @@ def sharded_effective_sample_size(samples, mesh: Mesh):
         chain_var = acov[0] * S / (S - 1.0)
         sum_w = jnp.sum(chain_var, axis=0)
         chain_mean = jnp.mean(block, axis=0)
-        sum_m = jnp.sum(chain_mean, axis=0)
-        sum_m2 = jnp.sum(chain_mean ** 2, axis=0)
-        # one psum per moment, all riding ICI
         sum_acov = jax.lax.psum(sum_acov, CHAIN_AXIS)
         sum_w = jax.lax.psum(sum_w, CHAIN_AXIS)
-        sum_m = jax.lax.psum(sum_m, CHAIN_AXIS)
-        sum_m2 = jax.lax.psum(sum_m2, CHAIN_AXIS)
-        return sum_acov, sum_w, sum_m, sum_m2
+        # B/n as a *pre-centered* second moment: psum the global mean
+        # first, then psum squared deviations from it — the
+        # sum-of-squares-minus-mean form cancels catastrophically in f32
+        # when chain means sit far from zero (e.g. electric's a ~
+        # N(100·mua, ·)), diverging from the unsharded jnp.var path.
+        mean_m = jax.lax.psum(jnp.sum(chain_mean, axis=0),
+                              CHAIN_AXIS) / C
+        sum_c2 = jax.lax.psum(
+            jnp.sum((chain_mean - mean_m) ** 2, axis=0), CHAIN_AXIS)
+        return sum_acov, sum_w, sum_c2
 
-    sum_acov, sum_w, sum_m, sum_m2 = pooled_moments(samples)
+    sum_acov, sum_w, sum_c2 = pooled_moments(samples)
     mean_acov = sum_acov / C
     W = sum_w / C
     if C > 1:
-        mean_m = sum_m / C
-        B_over_n = (sum_m2 - C * mean_m ** 2) / (C - 1.0)
+        B_over_n = sum_c2 / (C - 1.0)
     else:
         B_over_n = jnp.zeros_like(W)
     return dg.ess_from_moments(mean_acov, W, B_over_n, S, C)
@@ -67,6 +70,8 @@ def sharded_potential_scale_reduction(samples, mesh: Mesh):
     S, C = samples.shape[0], samples.shape[1]
     half = S // 2
 
+    m = 2 * C  # split chains
+
     @partial(shard_map, mesh=mesh,
              in_specs=P(None, CHAIN_AXIS),
              out_specs=P())
@@ -75,15 +80,16 @@ def sharded_potential_scale_reduction(samples, mesh: Mesh):
                                 axis=1)                    # (half, 2C/n, ...)
         cm = jnp.mean(split, axis=0)
         cv = jnp.var(split, axis=0, ddof=1)
-        sums = (jnp.sum(cv, axis=0), jnp.sum(cm, axis=0),
-                jnp.sum(cm ** 2, axis=0))
-        return jax.tree.map(lambda x: jax.lax.psum(x, CHAIN_AXIS), sums)
+        sum_w = jax.lax.psum(jnp.sum(cv, axis=0), CHAIN_AXIS)
+        # pre-centered between-chain moment (see ESS note above)
+        mean_m = jax.lax.psum(jnp.sum(cm, axis=0), CHAIN_AXIS) / m
+        sum_c2 = jax.lax.psum(jnp.sum((cm - mean_m) ** 2, axis=0),
+                              CHAIN_AXIS)
+        return sum_w, sum_c2
 
-    sum_w, sum_m, sum_m2 = pooled(samples)
-    m = 2 * C  # split chains
+    sum_w, sum_c2 = pooled(samples)
     W = sum_w / m
-    mean_m = sum_m / m
-    B = half * (sum_m2 - m * mean_m ** 2) / (m - 1.0)
+    B = half * sum_c2 / (m - 1.0)
     var_hat = (half - 1.0) / half * W + B / half
     return jnp.sqrt(var_hat / W)
 

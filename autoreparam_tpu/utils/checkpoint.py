@@ -98,16 +98,21 @@ class ResumableHMC:
                            key=key, chunks_done=jnp.zeros((), jnp.int32))
             self._save(0, rs)
 
+        # step_size/inv_mass are traced args (repo convention: learned
+        # arrays must not be jit closure constants — a resume with
+        # different adapted values would change the HLO and miss the
+        # persistent compile cache on this slow host)
         sample_chunk = jax.jit(
-            lambda st, k: H.sample_hmc(
+            lambda st, k, ss, im: H.sample_hmc(
                 self.potential_fn, st, k, self.chunk_size,
-                cfg.num_leapfrog_steps, rs.step_size, rs.inv_mass))
+                cfg.num_leapfrog_steps, ss, im))
 
         start = int(rs.chunks_done)
         for i in range(start, n_chunks):
             k_chunk, new_key = jax.random.split(rs.key)
             state = H.HMCState(rs.z, rs.pot, rs.grad)
-            samples, state, _ = sample_chunk(state, k_chunk)
+            samples, state, _ = sample_chunk(state, k_chunk,
+                                             rs.step_size, rs.inv_mass)
             np.save(self._chunk_path(i), np.asarray(samples))
             rs = rs._replace(z=state.z, pot=state.pot, grad=state.grad,
                              key=new_key,
