@@ -308,10 +308,13 @@ def run_hmc(potential_fn: Callable,
         step_size = jnp.exp(da.log_eps)
         state, info = v_kernel(state, keys, step_size, inv_mass)
         if config.share_adaptation:
-            # harmonic-mean acceptance across chains (robust to a few
-            # stuck chains), broadcast back to the (C,) DA state
-            pooled = 1.0 / jnp.mean(
-                1.0 / jnp.maximum(info.accept_prob, 1e-4))
+            # arithmetic-mean acceptance across chains (the ChEES-style
+            # cross-chain DA statistic), broadcast back to the (C,) DA
+            # state.  NOT the harmonic mean: that is dominated by the
+            # smallest values, so a few stuck chains (accept ~ 0 in a
+            # multi-basin posterior, e.g. german_credit) collapse the
+            # shared step size for the whole ensemble.
+            pooled = jnp.mean(info.accept_prob)
             da = da_update(da, jnp.full_like(info.accept_prob, pooled),
                            config.target_accept)
         else:

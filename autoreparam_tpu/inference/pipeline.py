@@ -36,6 +36,14 @@ __all__ = ["ExperimentResult", "run_experiment", "METHODS", "INFERENCES"]
 METHODS = ("cp", "ncp", "cvip", "dvip", "interleaved")
 INFERENCES = ("hmc", "nuts", "chees", "vi")
 
+#: Models whose posteriors are multi-basin at warmup: stuck chains drag
+#: any cross-chain acceptance pool, so these default to per-chain warmup
+#: (resolved when share_adaptation=None; see run_experiment docstring).
+NO_POOLED_ADAPTATION = frozenset({
+    "german_credit_lognormalcentered",
+    "german_credit_gammascale",
+})
+
 
 class ExperimentResult(NamedTuple):
     samples: Optional[jnp.ndarray]    # (S, C, D) unconstrained, or None (vi)
@@ -69,9 +77,18 @@ def run_experiment(spec: ModelSpec,
                    max_tree_depth: int = 8,
                    seed: int = 0,
                    collect_constrained: bool = True,
+                   log_readout: bool = True,
                    shard: bool = False,
-                   share_adaptation: bool = True) -> ExperimentResult:
-    """Run one (model × method × inference) experiment end to end."""
+                   share_adaptation: Optional[bool] = None
+                   ) -> ExperimentResult:
+    """Run one (model × method × inference) experiment end to end.
+
+    `share_adaptation=None` resolves per model: pooled cross-chain
+    warmup everywhere (measured 6.6x min-ESS on radon cVIP, PERF.md)
+    except the multi-basin german_credit posteriors, where chains stuck
+    in bad basins have near-zero acceptance and drag any cross-chain
+    acceptance pool — those default to per-chain (Stan-style) warmup.
+    """
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
     if inference not in INFERENCES:
@@ -133,9 +150,8 @@ def run_experiment(spec: ModelSpec,
                                 sampled_model)
 
     # ---- MCMC --------------------------------------------------------
-    # pooled cross-chain adaptation by default: with a chain batch the
-    # ensemble is the better warmup estimator (measured 6.6x min-ESS on
-    # radon cVIP vs per-chain warmup; PERF.md)
+    if share_adaptation is None:
+        share_adaptation = spec.name not in NO_POOLED_ADAPTATION
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog_steps,
                       target_accept=target_accept,
@@ -156,7 +172,8 @@ def run_experiment(spec: ModelSpec,
     # transforms) rather than raw unconstrained aux coordinates.
     collect = None
     if collect_constrained:
-        collect = recover_fn(sampled_model, info, args, kwargs)
+        collect = recover_fn(sampled_model, info, args, kwargs,
+                             log_readout=log_readout)
 
     mesh = None
     if shard and method != "interleaved" and inference != "vi":

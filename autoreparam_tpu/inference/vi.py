@@ -55,6 +55,7 @@ def fit_vi(model: Callable,
            num_steps: int = 3000,
            num_mc_samples: int = 8,
            learning_rate: float = 0.02,
+           lr_schedule: str = "cosine",
            key=None,
            init_loc: Optional[jnp.ndarray] = None) -> VIResult:
     """Fit mean-field q; if `vip_sites` is given, the model is rewritten
@@ -102,7 +103,25 @@ def fit_vi(model: Callable,
         e_logp = -jnp.mean(jax.vmap(pot)(z))
         return -(e_logp + _gaussian_entropy(params["log_scale"]))
 
-    opt = optax.adam(learning_rate)
+    # Constant LR for 70% of the budget, then a cosine tail to ~0: the
+    # tail makes the final (q*, λ*) a near-fixed point of the optimizer
+    # instead of a sample from Adam's stationary noise ball — λ* and the
+    # q* stddevs feed the HMC phase (init, diagonal mass), so end-of-run
+    # noise there directly degrades the sampler.  The constant head
+    # keeps short (CI/quick) budgets converging as fast as plain Adam.
+    if lr_schedule == "cosine":
+        head = int(0.7 * num_steps)
+        lr = optax.join_schedules(
+            [optax.constant_schedule(learning_rate),
+             optax.cosine_decay_schedule(learning_rate,
+                                         max(num_steps - head, 1),
+                                         alpha=0.02)],
+            [head])
+    elif lr_schedule == "constant":
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    opt = optax.adam(lr)
     opt_state0 = opt.init(params0)
 
     def step(carry, key):

@@ -40,7 +40,8 @@ class reparam(Messenger):
         strategy = self.config.get(msg.name)
         if strategy is None or isinstance(strategy, CP):
             return
-        value = strategy.apply(msg.name, msg.dist, msg.sample_shape)
+        value = strategy.apply(msg.name, msg.dist, msg.sample_shape,
+                               msg=msg)
         if value is None:
             return
         # The original site becomes a deterministic record of the
@@ -102,7 +103,8 @@ def make_vip_model(model: Callable, lam: Dict[str, jnp.ndarray]) -> Callable:
 
 def recover_fn(model: Callable, info: ModelInfo,
                model_args: tuple = (),
-               model_kwargs: Optional[dict] = None) -> Callable:
+               model_kwargs: Optional[dict] = None,
+               log_readout: bool = True) -> Callable:
     """Map a flat unconstrained latent vector -> model-space values.
 
     For a reparameterised model the HMC chain lives on auxiliary
@@ -111,17 +113,40 @@ def recover_fn(model: Callable, info: ModelInfo,
     pure function replays the model with the latents substituted and reads
     off every non-observed site, dropping `::base` aux bookkeeping in
     favour of the deterministic model-space records.
+
+    With `log_readout=True` (default), positive-support sites reached
+    through an exp map (HalfCauchy/LogNormal-style scales) are reported
+    in log space under the name ``log(<site>)``, computed directly from
+    the pre-exp quantity.  Rationale: (a) the reference computed ESS on
+    the *sampled* coordinates (tfp.mcmc.effective_sample_size on chain
+    states, SURVEY.md §3.1 [M]), which are log-space for such sites;
+    (b) exp-space moments may not exist (a LogNormal(0, 10) prior has no
+    usable f32 moments), so ESS/R-hat on exp values are meaningless and
+    can overflow to inf — the german_credit failure mode.
     """
     model_kwargs = model_kwargs or {}
+    from ..dists import bijectors as bij
+    exp_latents = {s.name for s in info.latents
+                   if isinstance(s.bijector, bij.Exp)}
 
     def recover(flat):
-        constrained = info.constrain(flat)
+        unc = info.unravel(flat)
+        constrained = {s.name: s.bijector.forward(unc[s.name])
+                       for s in info.latents}
         tr = handlers.trace(handlers.substitute(model, data=constrained))
         sites = tr.get_trace(*model_args, **model_kwargs)
         out = {}
         for name, site in sites.items():
             if site.observed or name.endswith(AUX_SUFFIX):
                 continue
+            if log_readout:
+                if name in exp_latents:
+                    out[f"log({name})"] = unc[name]
+                    continue
+                log_value = site.metadata.get("log_value")
+                if log_value is not None:
+                    out[f"log({name})"] = log_value
+                    continue
             out[name] = site.value
         return out
 

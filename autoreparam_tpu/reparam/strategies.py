@@ -67,9 +67,16 @@ def _split_loc_scale(dist):
 
 
 class ReparamStrategy:
-    """Rewrites one sample-site message. Returns the model-space value."""
+    """Rewrites one sample-site message. Returns the model-space value.
 
-    def apply(self, name: str, dist, sample_shape) -> Any:
+    `msg` (when passed) lets a strategy attach metadata to the rewritten
+    site — NCP/VIP record the pre-exp log-space value of LogNormal-style
+    sites as `msg.metadata["log_value"]` so readouts (recover_fn) can
+    report scale sites in log space without an overflow-prone exp→log
+    round trip.
+    """
+
+    def apply(self, name: str, dist, sample_shape, msg=None) -> Any:
         raise NotImplementedError
 
 
@@ -77,21 +84,24 @@ class CP(ReparamStrategy):
     """Centered parameterisation — identity (reference: the model as
     written; SURVEY.md §1 item 2)."""
 
-    def apply(self, name, dist, sample_shape):
+    def apply(self, name, dist, sample_shape, msg=None):
         return None  # signal "leave the site untouched"
 
 
 class NCP(ReparamStrategy):
     """Non-centered: ẑ ~ F(0,1), z = loc + scale·ẑ."""
 
-    def apply(self, name, dist, sample_shape):
+    def apply(self, name, dist, sample_shape, msg=None):
         loc, scale, base, push = _split_loc_scale(dist)
         shape = jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
         aux = sample(aux_name(name),
                      base(jnp.zeros(shape), jnp.ones(shape)),
                      sample_shape=sample_shape,
                      _metadata={"aux_of": name, "strategy": "ncp"})
-        return push(loc + scale * aux)
+        z = loc + scale * aux
+        if msg is not None and push is jnp.exp:
+            msg.metadata["log_value"] = z
+        return push(z)
 
 
 class VIP(ReparamStrategy):
@@ -106,7 +116,7 @@ class VIP(ReparamStrategy):
     def __init__(self, lam):
         self.lam = lam
 
-    def apply(self, name, dist, sample_shape):
+    def apply(self, name, dist, sample_shape, msg=None):
         lam = self.lam
         loc, scale, base, push = _split_loc_scale(dist)
         # σ^λ via exp(λ·logσ): stable for σ>0, one log per site.
@@ -131,4 +141,6 @@ class VIP(ReparamStrategy):
                      sample_shape=site_shape[:extra],
                      _metadata={"aux_of": name, "strategy": "vip"})
         z = loc + jnp.exp((1.0 - lam) * log_scale) * (aux - lam * loc)
+        if msg is not None and push is jnp.exp:
+            msg.metadata["log_value"] = z
         return push(z)

@@ -181,7 +181,7 @@ def test_recover_fn():
     ncp = make_ncp_model(hier_model, sites=["theta", "mu"],
                          model_args=(Y,))
     info = get_model_info(ncp, (Y,))
-    rec = recover_fn(ncp, info, (Y,))
+    rec = recover_fn(ncp, info, (Y,), log_readout=False)
     flat = jax.random.normal(jax.random.PRNGKey(0), (info.dim,))
     vals = rec(flat)
     assert set(vals) == {"mu", "tau", "theta"}
@@ -192,6 +192,23 @@ def test_recover_fn():
         np.asarray(vals["theta"]),
         np.asarray(vals["mu"] + vals["tau"] * unc[aux_name("theta")]),
         rtol=1e-5)
+    # default log_readout: positive-support sites come back in log space
+    # under log(<name>), overflow-free (tau is HalfCauchy -> Exp support)
+    rec_log = recover_fn(ncp, info, (Y,))
+    vals_log = rec_log(flat)
+    assert set(vals_log) == {"mu", "log(tau)", "theta"}
+    np.testing.assert_allclose(np.asarray(vals_log["log(tau)"]),
+                               np.log(np.asarray(vals["tau"])), rtol=1e-5)
+    # a log-space value never overflows even when exp(z) would
+    big = flat.at[_tau_index(info)].set(200.0)
+    assert np.isfinite(np.asarray(rec_log(big)["log(tau)"]))
+
+
+def _tau_index(info):
+    for s in info.latents:
+        if s.name == "tau":
+            return s.offset
+    raise AssertionError("tau latent not found")
 
 
 def test_vip_aux_shape_with_sample_shape_sites():
