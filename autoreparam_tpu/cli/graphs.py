@@ -37,6 +37,15 @@ def make_figures(results, out_dir):
     written = []
 
     mcmc = [r for r in results if "ess_per_grad_min" in r]
+    # dedupe: newest run wins per (model, method, inference) — results
+    # dirs may hold several configs of the same cell (hashed filenames)
+    newest = {}
+    for r in mcmc:
+        k = (r["model"], r["method"], r.get("inference", "hmc"))
+        if k not in newest or (r.get("timestamp", 0)
+                               > newest[k].get("timestamp", 0)):
+            newest[k] = r
+    mcmc = list(newest.values())
     if mcmc:
         by_model = defaultdict(dict)
         for r in mcmc:

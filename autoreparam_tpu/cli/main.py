@@ -85,9 +85,8 @@ def _run_one(spec, num_leapfrog):
         seed=FLAGS.seed, shard=FLAGS.shard)
 
     s = res.summary
-    if FLAGS.leapfrog_sweep:
-        s["num_leapfrog_steps"] = num_leapfrog
-        s["method"] = f"{FLAGS.method}_L{num_leapfrog}"
+    # (sweep runs no longer need a mangled method name: result files are
+    # keyed by a config hash including num_leapfrog_steps)
     if FLAGS.inference == "vi":
         logging.info("ELBO = %.3f", s["elbo"])
     else:

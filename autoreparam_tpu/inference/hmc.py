@@ -88,6 +88,63 @@ def welford_variance(state: WelfordState):
     return w * var + 1e-3 * (1.0 - w)
 
 
+def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
+               target_accept, adapt_mass=True, share=False):
+    """One warmup adaptation update, shared by HMC/NUTS/iHMC warmups.
+
+    Inputs are the batched adaptation states (DA over (C,), Welford over
+    (C, D), inv_mass (C, D)), the post-transition positions z (C, D) and
+    acceptance statistic (C,), plus the schedule bits for this step.
+    With `share=True` the chain batch is pooled: one step size driven by
+    the cross-chain mean acceptance and a mass from the law-of-total-
+    variance ensemble decomposition (see HMCConfig.share_adaptation).
+    Returns (da, wf, inv_mass).
+    """
+    if share:
+        # arithmetic-mean acceptance across chains (the ChEES-style
+        # cross-chain DA statistic), broadcast back to the (C,) DA
+        # state.  NOT the harmonic mean: that is dominated by the
+        # smallest values, so a few stuck chains (accept ~ 0 in a
+        # multi-basin posterior, e.g. german_credit) collapse the
+        # shared step size for the whole ensemble.
+        pooled = jnp.mean(accept_prob)
+        da = da_update(da, jnp.full_like(accept_prob, pooled),
+                       target_accept)
+    else:
+        da = da_update(da, accept_prob, target_accept)
+    if adapt_mass:
+        if share:
+            # pool each draw's cross-chain moments into one Welford
+            # stream shared by all chains: the ensemble is C times
+            # more data per step than any single chain's history
+            zbar = jnp.mean(z, axis=0)
+            wf_new = jax.vmap(welford_update)(
+                wf, jnp.broadcast_to(zbar, z.shape))
+            # ensemble spread enters via a parallel variance term
+            ens_var = jnp.var(z, axis=0)
+            wf_new = wf_new._replace(m2=wf_new.m2 + ens_var[None, :])
+        else:
+            wf_new = jax.vmap(welford_update)(wf, z)
+        wf = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)), b, a)
+            if a.ndim > 0 else jnp.where(slow, b, a),
+            wf, wf_new)
+        var = jax.vmap(welford_variance)(wf)
+        inv_mass = jnp.where(end, var, inv_mass)
+        # window end: reset welford, restart dual averaging at the
+        # current averaged step size
+        wf = jax.tree.map(
+            lambda a, zz: jnp.where(end, zz, a), wf,
+            WelfordState(jnp.zeros_like(wf.mean),
+                         jnp.zeros_like(wf.m2),
+                         jnp.zeros_like(wf.count)))
+        da_reset = da_init(jnp.exp(da.log_eps))
+        da = jax.tree.map(lambda a, b: jnp.where(end, b, a), da,
+                          da_reset)
+    return da, wf, inv_mass
+
+
 class HMCState(NamedTuple):
     z: jnp.ndarray          # (D,) unconstrained position
     pot: jnp.ndarray        # U(z)
@@ -307,51 +364,11 @@ def run_hmc(potential_fn: Callable,
         keys = jax.random.split(key, C)
         step_size = jnp.exp(da.log_eps)
         state, info = v_kernel(state, keys, step_size, inv_mass)
-        if config.share_adaptation:
-            # arithmetic-mean acceptance across chains (the ChEES-style
-            # cross-chain DA statistic), broadcast back to the (C,) DA
-            # state.  NOT the harmonic mean: that is dominated by the
-            # smallest values, so a few stuck chains (accept ~ 0 in a
-            # multi-basin posterior, e.g. german_credit) collapse the
-            # shared step size for the whole ensemble.
-            pooled = jnp.mean(info.accept_prob)
-            da = da_update(da, jnp.full_like(info.accept_prob, pooled),
-                           config.target_accept)
-        else:
-            da = da_update(da, info.accept_prob, config.target_accept)
-        # mass accumulation in slow windows (masked, per chain)
-        if config.adapt_mass:
-            if config.share_adaptation:
-                # pool each draw's cross-chain moments into one Welford
-                # stream shared by all chains: the ensemble is C times
-                # more data per step than any single chain's history
-                zbar = jnp.mean(state.z, axis=0)
-                wf_new = jax.vmap(welford_update)(
-                    wf, jnp.broadcast_to(zbar, state.z.shape))
-                # ensemble spread enters via a parallel variance term
-                ens_var = jnp.var(state.z, axis=0)
-                wf_new = wf_new._replace(
-                    m2=wf_new.m2 + ens_var[None, :])
-            else:
-                wf_new = jax.vmap(welford_update)(wf, state.z)
-            wf = jax.tree.map(
-                lambda a, b: jnp.where(
-                    jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)), b, a)
-                if a.ndim > 0 else jnp.where(slow, b, a),
-                wf, wf_new)
-            var = jax.vmap(welford_variance)(wf)
-            new_inv_mass = jnp.where(end, var, inv_mass)
-            # window end: reset welford, restart dual averaging at the
-            # current averaged step size
-            wf = jax.tree.map(
-                lambda a, z: jnp.where(end, z, a), wf,
-                WelfordState(jnp.zeros_like(wf.mean),
-                             jnp.zeros_like(wf.m2),
-                             jnp.zeros_like(wf.count)))
-            da_reset = da_init(jnp.exp(da.log_eps))
-            da = jax.tree.map(lambda a, b: jnp.where(end, b, a), da,
-                              da_reset)
-            inv_mass = new_inv_mass
+        da, wf, inv_mass = adapt_step(
+            da, wf, inv_mass, state.z, info.accept_prob, slow, end,
+            target_accept=config.target_accept,
+            adapt_mass=config.adapt_mass,
+            share=config.share_adaptation)
         return (state, da, wf, inv_mass), info.accept_prob
 
     n_w = config.num_warmup

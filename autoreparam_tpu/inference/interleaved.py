@@ -212,12 +212,13 @@ def run_interleaved_hmc(model: Callable,
     z_final, (samples, acc_cp, acc_ncp) = jax.lax.scan(
         sample_step, z0, jax.random.split(ks, config.num_samples))
 
+    # stats holds only array/scalar leaves so the whole runner can sit
+    # inside jax.jit (the sharded path jits it; parallel/sharded.py)
     stats = {
         "step_size_cp": ss_cp,
         "step_size_ncp": ss_ncp,
         "accept_prob_cp": acc_cp,
         "accept_prob_ncp": acc_ncp,
         "num_grad_evals_per_sample": 2 * config.num_leapfrog_steps,
-        "info_cp": info_cp,
     }
     return samples, stats

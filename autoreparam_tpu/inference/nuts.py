@@ -279,10 +279,16 @@ def run_nuts(potential_fn: Callable,
              target_accept: float = 0.8,
              init_step_size: float = 0.1,
              adapt_mass: bool = True,
+             share_adaptation: bool = False,
              inv_mass_diag=None,
              collect_fn: Optional[Callable] = None):
     """Warmup + sampling in one jitted program (same driver structure as
-    run_hmc; NUTS-standard target acceptance 0.8)."""
+    run_hmc; NUTS-standard target acceptance 0.8).
+
+    `share_adaptation=True` pools warmup across the chain batch (one
+    step size from the cross-chain mean acceptance, ensemble mass) —
+    the same scheme as HMCConfig.share_adaptation, via hmc.adapt_step.
+    """
     C, D = init_positions.shape
     dtype = init_positions.dtype
     kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth),
@@ -305,22 +311,10 @@ def run_nuts(potential_fn: Callable,
         key, slow, end = xs
         keys = jax.random.split(key, C)
         z, info = kern(z, keys, jnp.exp(da.log_eps), inv_mass)
-        da = H.da_update(da, info.accept_prob, target_accept)
-        if adapt_mass:
-            wf_new = jax.vmap(H.welford_update)(wf, z)
-            wf = jax.tree.map(
-                lambda a, b: jnp.where(
-                    jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)), b, a),
-                wf, wf_new)
-            var = jax.vmap(H.welford_variance)(wf)
-            inv_mass = jnp.where(end, var, inv_mass)
-            wf = jax.tree.map(
-                lambda a, zz: jnp.where(end, zz, a), wf,
-                H.WelfordState(jnp.zeros_like(wf.mean),
-                               jnp.zeros_like(wf.m2),
-                               jnp.zeros_like(wf.count)))
-            da = jax.tree.map(lambda a, b: jnp.where(end, b, a), da,
-                              H.da_init(jnp.exp(da.log_eps)))
+        da, wf, inv_mass = H.adapt_step(
+            da, wf, inv_mass, z, info.accept_prob, slow, end,
+            target_accept=target_accept, adapt_mass=adapt_mass,
+            share=share_adaptation)
         return (z, da, wf, inv_mass), info.accept_prob
 
     key, kw, ks = jax.random.split(key, 3)

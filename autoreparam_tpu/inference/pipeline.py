@@ -142,6 +142,8 @@ def run_experiment(spec: ModelSpec,
             "vi_loc": np.asarray(vi_res.loc),
             "vi_scale": np.asarray(vi_res.scale),
             "latent_names": list(info.names),
+            "num_optimization_steps": num_optimization_steps,
+            "seed": seed,
         }
         if lam is not None:
             summary["lambda"] = {k: np.asarray(v)
@@ -176,21 +178,28 @@ def run_experiment(spec: ModelSpec,
                              log_readout=log_readout)
 
     mesh = None
-    if shard and method != "interleaved" and inference != "vi":
+    if shard and inference != "vi":
         from ..parallel import make_mesh
         mesh = make_mesh()
 
     t0 = time.perf_counter()
     if method == "interleaved":
-        samples, stats = run_interleaved_hmc(
-            model, init, k_run, cfg, model_args=args, model_kwargs=kwargs,
-            collect_fn=collect)
+        if mesh is not None:
+            from ..parallel import run_interleaved_sharded
+            samples, stats = run_interleaved_sharded(
+                model, init, k_run, cfg, mesh, model_args=args,
+                model_kwargs=kwargs, collect_fn=collect)
+        else:
+            samples, stats = run_interleaved_hmc(
+                model, init, k_run, cfg, model_args=args,
+                model_kwargs=kwargs, collect_fn=collect)
         grad_multiplier = 2.0
     elif inference == "nuts":
         pot = make_potential_fn(sampled_model, info, args, kwargs)
         nuts_kw = dict(num_warmup=num_warmup, num_samples=num_samples,
                        max_tree_depth=max_tree_depth,
                        target_accept=target_accept,
+                       share_adaptation=share_adaptation,
                        inv_mass_diag=inv_mass, collect_fn=collect)
         if mesh is not None:
             from ..parallel import run_nuts_sharded
@@ -279,6 +288,10 @@ def run_experiment(spec: ModelSpec,
         "ess_per_sec_min": float(np.asarray(ess).min() / wall),
         "num_chains": num_chains,
         "num_samples": num_samples,
+        "num_warmup": num_warmup,
+        "num_leapfrog_steps": num_leapfrog_steps,
+        "seed": seed,
+        "share_adaptation": bool(share_adaptation),
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),

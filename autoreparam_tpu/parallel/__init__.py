@@ -2,4 +2,4 @@ from .mesh import CHAIN_AXIS, make_mesh, replicate, shard_chains
 from .collectives import (sharded_effective_sample_size, sharded_mean,
                           sharded_potential_scale_reduction)
 from .sharded import (run_chees_sharded, run_hmc_sharded,
-                      run_nuts_sharded)
+                      run_interleaved_sharded, run_nuts_sharded)

@@ -18,7 +18,8 @@ from ..inference import hmc as H
 from ..inference import nuts as N
 from .mesh import CHAIN_AXIS, shard_chains
 
-__all__ = ["run_hmc_sharded", "run_nuts_sharded", "run_chees_sharded"]
+__all__ = ["run_hmc_sharded", "run_nuts_sharded", "run_chees_sharded",
+           "run_interleaved_sharded"]
 
 
 def _chain_sharding(mesh, axis):
@@ -56,6 +57,30 @@ def run_nuts_sharded(potential_fn: Callable, init_positions, key,
     init = shard_chains(mesh, init_positions, axis=0)
     fn = jax.jit(
         lambda i, k: N.run_nuts(potential_fn, i, k, **kwargs),
+        in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
+    )
+    return fn(init, key)
+
+
+def run_interleaved_sharded(model: Callable, init_positions, key,
+                            config: H.HMCConfig, mesh: Mesh,
+                            model_args: tuple = (),
+                            model_kwargs=None,
+                            collect_fn: Optional[Callable] = None):
+    """run_interleaved_hmc over the chain mesh.
+
+    The iHMC outer step (two vmapped HMC kernels + the trace-replay
+    coordinate maps, all per-chain) is embarrassingly chain-parallel, so
+    the same declarative jit sharding used for HMC/NUTS applies; the
+    coordinate maps introduce no cross-chain traffic.
+    """
+    from ..inference.interleaved import run_interleaved_hmc
+
+    init = shard_chains(mesh, init_positions, axis=0)
+    fn = jax.jit(
+        lambda i, k: run_interleaved_hmc(
+            model, i, k, config, model_args=model_args,
+            model_kwargs=model_kwargs, collect_fn=collect_fn),
         in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
     )
     return fn(init, key)

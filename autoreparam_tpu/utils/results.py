@@ -33,14 +33,40 @@ def _to_jsonable(x):
     return x
 
 
-def result_filename(model: str, method: str, inference: str) -> str:
-    return f"{model}__{method}__{inference}.json"
+#: summary keys that distinguish run configurations; hashed into the
+#: filename so two runs of the same (model, method, inference) with
+#: different sizes/seeds never silently overwrite each other
+_CONFIG_KEYS = ("num_chains", "num_warmup", "num_samples",
+                "num_leapfrog_steps", "num_optimization_steps", "seed")
+
+
+def result_filename(model: str, method: str, inference: str,
+                    tag: Optional[str] = None) -> str:
+    suffix = f"__{tag}" if tag else ""
+    return f"{model}__{method}__{inference}{suffix}.json"
+
+
+def config_tag(summary: dict) -> Optional[str]:
+    """Short stable hash of the distinguishing config keys (None if the
+    summary carries none of them)."""
+    import hashlib
+
+    items = [(k, summary[k]) for k in _CONFIG_KEYS if k in summary]
+    if not items:
+        return None
+    return hashlib.sha1(repr(items).encode()).hexdigest()[:8]
 
 
 def save_result(results_dir: str, summary: dict,
                 extra: Optional[dict] = None,
                 samples=None) -> str:
-    """Write one run's summary (+ optionally raw samples as .npz)."""
+    """Write one run's summary (+ optionally raw samples as .npz).
+
+    The filename includes a hash of the run configuration, so re-running
+    the same config overwrites its own artifact (idempotent) while a
+    different size/seed writes a new file.  Table/figure builders dedupe
+    by newest timestamp per (model, method, inference).
+    """
     os.makedirs(results_dir, exist_ok=True)
     payload = dict(summary)
     if extra:
@@ -48,7 +74,8 @@ def save_result(results_dir: str, summary: dict,
     payload["timestamp"] = time.time()
     name = result_filename(payload.get("model", "model"),
                            payload.get("method", "method"),
-                           payload.get("inference", "inference"))
+                           payload.get("inference", "inference"),
+                           tag=config_tag(payload))
     path = os.path.join(results_dir, name)
     with open(path, "w") as f:
         json.dump(_to_jsonable(payload), f, indent=1)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""--inference=VI comparison: ELBO per parameterisation across the zoo.
+
+The reference evaluated parameterisations not only by HMC efficiency but
+by variational tractability: fit mean-field VI to the CP, NCP, and cVIP
+rewrites of each model and compare the achieved ELBO (SURVEY.md §4.4 —
+a reference deliverable).  cVIP's ELBO should match or beat the better
+of CP/NCP on every model, since λ interpolates between them and is
+optimized on exactly this objective.
+
+    python experiments/run_vi_compare.py [--quick]
+
+Writes one results JSON per (model × method) and VI_ELBO.md at the repo
+root.
+"""
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MODELS = ["eight_schools", "neals_funnel", "radon",
+          "german_credit_lognormalcentered", "german_credit_gammascale",
+          "election88", "electric"]
+METHODS = ["cp", "ncp", "cvip"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--models", default=",".join(MODELS))
+    ap.add_argument("--results_dir",
+                    default=os.path.join(REPO, "results", "vi_elbo"))
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models import get_model
+    from autoreparam_tpu.utils.results import save_result
+
+    q = args.quick
+    steps = 800 if q else 5000
+    table = {}
+    for model_name in args.models.split(","):
+        dataset = "MN" if model_name == "radon" else None
+        spec = get_model(model_name, dataset)
+        for method in METHODS:
+            t0 = time.time()
+            try:
+                res = run_experiment(spec, method=method, inference="vi",
+                                     num_optimization_steps=steps,
+                                     num_mc_samples=8,
+                                     learning_rate=0.02, seed=0)
+                elbo = res.summary["elbo"]
+                res.summary["total_time_s"] = time.time() - t0
+                save_result(args.results_dir, res.summary)
+                table.setdefault(spec.name, {})[method] = elbo
+                print(f"[vi] {spec.name} × {method}: ELBO={elbo:.2f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+            except Exception:
+                print(f"[vi] {spec.name} × {method}: ERROR", flush=True)
+                traceback.print_exc()
+                table.setdefault(spec.name, {})[method] = float("nan")
+
+    lines = [
+        "# VI ELBO per parameterisation (SURVEY.md §4.4)",
+        "",
+        f"Mean-field ADVI, {steps} Adam steps (cosine-tail LR), 8 MC "
+        "samples, seed 0. cVIP optimizes λ jointly; its ELBO should "
+        "match or beat the better of CP/NCP on every model (it "
+        "interpolates between them on this exact objective).",
+        "",
+        "| model | CP | NCP | cVIP | cVIP ≥ best(CP,NCP)−1 nat |",
+        "|---|---|---|---|---|",
+    ]
+    ok_all = True
+    for model, row in table.items():
+        best = max(row.get("cp", float("-inf")),
+                   row.get("ncp", float("-inf")))
+        cvip = row.get("cvip", float("nan"))
+        ok = cvip >= best - 1.0  # 1-nat MC slack
+        ok_all = ok_all and ok
+        lines.append(
+            f"| {model} | {row.get('cp', float('nan')):.2f} | "
+            f"{row.get('ncp', float('nan')):.2f} | {cvip:.2f} | "
+            f"{'yes' if ok else 'NO'} |")
+    lines += ["", f"Mode: {'quick' if q else 'full'}; raw JSONs in "
+              f"`{os.path.relpath(args.results_dir, REPO)}/`."]
+    with open(os.path.join(REPO, "VI_ELBO.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote VI_ELBO.md; all-pass:", ok_all)
+
+
+if __name__ == "__main__":
+    main()
