@@ -102,11 +102,15 @@ def load_german_credit() -> Dict[str, np.ndarray]:
 
 
 def load_election88() -> Dict[str, np.ndarray]:
-    """CBS 1988 pre-election polls shape: ~11k respondents, 51 states."""
+    """CBS 1988 pre-election polls shape: ~11k respondents, 51 states,
+    with the full Gelman & Hill ch. 14 covariate set: sex, race, age
+    (4 categories), education (4 categories), age×edu interaction,
+    state region (5 census regions) and previous Republican vote share
+    (v.prev) as state-level predictors."""
 
     def build():
         rng = np.random.default_rng(20260818)
-        n, n_states = 11566, 51
+        n, n_states, n_age, n_edu, n_region = 11566, 51, 4, 4, 5
         sizes = np.maximum(5, np.round(
             rng.dirichlet(np.full(n_states, 1.5)) * n).astype(int))
         while sizes.sum() > n:
@@ -116,12 +120,29 @@ def load_election88() -> Dict[str, np.ndarray]:
         state_idx = np.repeat(np.arange(n_states), sizes)
         female = (rng.random(n) < 0.53).astype(np.float32)
         black = (rng.random(n) < 0.10).astype(np.float32)
-        a = rng.normal(0.15, 0.4, n_states)
-        logits = a[state_idx] - 0.1 * female - 1.8 * black
+        age = rng.integers(0, n_age, n).astype(np.int32)
+        edu = rng.integers(0, n_edu, n).astype(np.int32)
+        region = rng.integers(0, n_region, n_states).astype(np.int32)
+        # previous Republican vote share, centered (G&H v.prev scale)
+        v_prev = rng.normal(0.0, 0.07, n_states)
+        # ground-truth process with region + v.prev structure
+        a_region = rng.normal(0.0, 0.25, n_region)
+        a_age = rng.normal(0.0, 0.12, n_age)
+        a_edu = rng.normal(0.0, 0.15, n_edu)
+        a_ae = rng.normal(0.0, 0.08, (n_age, n_edu))
+        a = (0.15 + a_region[region] + 3.0 * v_prev
+             + rng.normal(0, 0.25, n_states))
+        logits = (a[state_idx] - 0.1 * female - 1.8 * black
+                  + a_age[age] + a_edu[edu] + a_ae[age, edu])
         y = (rng.random(n) < 1 / (1 + np.exp(-logits))).astype(np.float32)
         return {"state_idx": state_idx.astype(np.int32),
-                "female": female, "black": black, "y": y,
-                "n_states": np.asarray(n_states, np.int32)}
+                "female": female, "black": black,
+                "age": age, "edu": edu, "y": y,
+                "region": region, "v_prev": v_prev.astype(np.float32),
+                "n_states": np.asarray(n_states, np.int32),
+                "n_age": np.asarray(n_age, np.int32),
+                "n_edu": np.asarray(n_edu, np.int32),
+                "n_region": np.asarray(n_region, np.int32)}
 
     return _cache("election88", build)
 

@@ -277,54 +277,95 @@ def _gc_gs(dataset=None) -> ModelSpec:
 # election88 — hierarchical logistic regression (BASELINE config #5)
 # ---------------------------------------------------------------------------
 
-def election88_model(cell_state, cell_female, cell_black, cell_total,
-                     cell_yes, n_states):
+def _election88_effects(n_states, n_age, n_edu, n_region, region,
+                        v_prev):
+    """Shared latent structure of the full Gelman & Hill ch. 14 model:
+    demographic fixed effects, hierarchical age/edu/age×edu effects, and
+    state intercepts regressed on census region + previous Republican
+    vote share (v.prev)."""
+    mua = sample("mua", d.Normal(0.0, 1.0))
+    b_female = sample("b_female", d.Normal(0.0, 1.0))
+    b_black = sample("b_black", d.Normal(0.0, 1.0))
+    b_v_prev = sample("b_v_prev", d.Normal(0.0, 2.5))
+    sigma_age = sample("sigma_age", d.HalfCauchy(1.0))
+    a_age = sample("a_age", d.Normal(0.0, sigma_age),
+                   sample_shape=(n_age,))
+    sigma_edu = sample("sigma_edu", d.HalfCauchy(1.0))
+    a_edu = sample("a_edu", d.Normal(0.0, sigma_edu),
+                   sample_shape=(n_edu,))
+    sigma_ae = sample("sigma_age_edu", d.HalfCauchy(1.0))
+    a_ae = sample("a_age_edu", d.Normal(0.0, sigma_ae),
+                  sample_shape=(n_age * n_edu,))
+    sigma_region = sample("sigma_region", d.HalfCauchy(1.0))
+    a_region = sample("a_region", d.Normal(0.0, sigma_region),
+                      sample_shape=(n_region,))
+    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
+    a = sample("a", d.Normal(mua + a_region[region] + b_v_prev * v_prev,
+                             sigma_a))
+
+    def logits_for(state, female, black, age, edu):
+        return (a[state] + b_female * female + b_black * black
+                + a_age[age] + a_edu[edu] + a_ae[age * n_edu + edu])
+
+    return logits_for
+
+
+def election88_model(cell_state, cell_female, cell_black, cell_age,
+                     cell_edu, cell_total, cell_yes, region, v_prev,
+                     n_states, n_age, n_edu, n_region):
     """Gelman & Hill ch. 14 pre-election polling: P(Bush support) with
-    demographic fixed effects + state random intercepts.
+    sex/race fixed effects, hierarchical age, education and age×edu
+    effects, and state random intercepts regressed on census region and
+    previous Republican vote share (the reference's election88 model
+    family; SURVEY.md §3.1 [M]).
 
     TPU-native formulation: the Bernoulli likelihood over ~11.5k
     respondents is collapsed to its sufficient statistics over the
-    51 states × 2 sexes × 2 races cells (Binomial per cell) — an *exact*
-    reduction of the same posterior that cuts the per-chain gradient
-    from 11566 rows to ≤204, which is what makes 8192-chain NUTS fit in
-    HBM (BASELINE config #5)."""
-    mua = sample("mua", d.Normal(0.0, 1.0))
-    b_female = sample("b_female", d.Normal(0.0, 1.0))
-    b_black = sample("b_black", d.Normal(0.0, 1.0))
-    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
-    a = sample("a", d.Normal(mua, sigma_a), sample_shape=(n_states,))
-    logits = (a[cell_state] + b_female * cell_female
-              + b_black * cell_black)
+    occupied (state × sex × race × age × edu) cells (Binomial per
+    cell) — an *exact* reduction of the same posterior that cuts the
+    per-chain gradient from 11566 rows to the occupied-cell count,
+    which is what makes 8192-chain NUTS fit in HBM (BASELINE #5)."""
+    logits_for = _election88_effects(n_states, n_age, n_edu, n_region,
+                                     region, v_prev)
+    logits = logits_for(cell_state, cell_female, cell_black, cell_age,
+                        cell_edu)
     sample("y", d.Binomial(cell_total, logits), obs=cell_yes)
 
 
-def election88_raw_model(state_idx, female, black, y, n_states):
+def election88_raw_model(state_idx, female, black, age, edu, y, region,
+                         v_prev, n_states, n_age, n_edu, n_region):
     """Respondent-level variant (identical posterior; for parity checks
     and as the memory-stress benchmark)."""
-    mua = sample("mua", d.Normal(0.0, 1.0))
-    b_female = sample("b_female", d.Normal(0.0, 1.0))
-    b_black = sample("b_black", d.Normal(0.0, 1.0))
-    sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
-    a = sample("a", d.Normal(mua, sigma_a), sample_shape=(n_states,))
-    logits = a[state_idx] + b_female * female + b_black * black
+    logits_for = _election88_effects(n_states, n_age, n_edu, n_region,
+                                     region, v_prev)
+    logits = logits_for(state_idx, female, black, age, edu)
     sample("y", d.Bernoulli(logits), obs=y)
 
 
 def _election88_cells(ds):
     import numpy as np
 
-    key = (ds["state_idx"].astype(np.int64) * 4
-           + ds["female"].astype(np.int64) * 2
-           + ds["black"].astype(np.int64))
-    n_cells = int(ds["n_states"]) * 4
+    n_age, n_edu = int(ds["n_age"]), int(ds["n_edu"])
+    strata = 4 * n_age * n_edu
+    key = (ds["state_idx"].astype(np.int64) * strata
+           + ds["female"].astype(np.int64) * (2 * n_age * n_edu)
+           + ds["black"].astype(np.int64) * (n_age * n_edu)
+           + ds["age"].astype(np.int64) * n_edu
+           + ds["edu"].astype(np.int64))
+    n_cells = int(ds["n_states"]) * strata
     total = np.bincount(key, minlength=n_cells)
     yes = np.bincount(key, weights=ds["y"], minlength=n_cells)
     nz = total > 0
     cell_ids = np.nonzero(nz)[0]
     return {
-        "cell_state": (cell_ids // 4).astype(np.int32),
-        "cell_female": ((cell_ids % 4) // 2).astype(np.float32),
-        "cell_black": (cell_ids % 2).astype(np.float32),
+        "cell_state": (cell_ids // strata).astype(np.int32),
+        "cell_female": ((cell_ids % strata)
+                        // (2 * n_age * n_edu)).astype(np.float32),
+        "cell_black": ((cell_ids % (2 * n_age * n_edu))
+                       // (n_age * n_edu)).astype(np.float32),
+        "cell_age": ((cell_ids % (n_age * n_edu))
+                     // n_edu).astype(np.int32),
+        "cell_edu": (cell_ids % n_edu).astype(np.int32),
         "cell_total": total[nz].astype(np.float32),
         "cell_yes": yes[nz].astype(np.float32),
     }
@@ -333,16 +374,20 @@ def _election88_cells(ds):
 @register("election88")
 def _election88(dataset=None) -> ModelSpec:
     ds = data_lib.load_election88()
+    shared = (jnp.asarray(ds["region"]), jnp.asarray(ds["v_prev"]),
+              int(ds["n_states"]), int(ds["n_age"]), int(ds["n_edu"]),
+              int(ds["n_region"]))
     if dataset == "raw":
         return ModelSpec(
             name="election88_raw",
             model=election88_raw_model,
             args=(jnp.asarray(ds["state_idx"]), jnp.asarray(ds["female"]),
-                  jnp.asarray(ds["black"]), jnp.asarray(ds["y"]),
-                  int(ds["n_states"])),
+                  jnp.asarray(ds["black"]), jnp.asarray(ds["age"]),
+                  jnp.asarray(ds["edu"]), jnp.asarray(ds["y"])) + shared,
             kwargs={},
             description=f"1988 CBS polls, respondent-level: "
-                        f"{len(ds['y'])} rows, {ds['n_states']} states.",
+                        f"{len(ds['y'])} rows, {ds['n_states']} states, "
+                        "full G&H ch.14 covariates.",
             observed=("y",),
         )
     cells = _election88_cells(ds)
@@ -352,15 +397,17 @@ def _election88(dataset=None) -> ModelSpec:
         args=(jnp.asarray(cells["cell_state"]),
               jnp.asarray(cells["cell_female"]),
               jnp.asarray(cells["cell_black"]),
+              jnp.asarray(cells["cell_age"]),
+              jnp.asarray(cells["cell_edu"]),
               jnp.asarray(cells["cell_total"]),
-              jnp.asarray(cells["cell_yes"]),
-              int(ds["n_states"])),
+              jnp.asarray(cells["cell_yes"])) + shared,
         kwargs={},
         description=f"1988 CBS polls: {len(ds['y'])} respondents "
                     f"collapsed to {len(cells['cell_total'])} "
                     f"demographic cells (exact sufficient statistics), "
-                    f"{ds['n_states']} states; hierarchical logistic "
-                    "regression.",
+                    f"{ds['n_states']} states; full G&H ch.14 "
+                    "hierarchical logistic regression (age/edu/age×edu "
+                    "+ region + v.prev).",
         observed=("y",),
     )
 

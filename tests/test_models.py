@@ -39,7 +39,9 @@ def test_registry_dims():
     assert get_model_info(binned.model, binned.args).dim == 90
     spec = get_model("election88")
     info = get_model_info(spec.model, spec.args)
-    assert info.dim == 51 + 4
+    # full G&H ch.14 model: 4 scalar effects + 5 scale params + age(4)
+    # + edu(4) + age*edu(16) + region(5) + state(51)
+    assert info.dim == 89
 
 
 def test_radon_states_distinct():
@@ -74,17 +76,27 @@ def test_election88_cells_exact_sufficient_stats():
     binned = get_model("election88")
     raw = get_model("election88", "raw")
     params = {"mua": 0.2, "b_female": -0.1, "b_black": -1.0,
-              "sigma_a": 0.5}
+              "b_v_prev": 1.5, "sigma_a": 0.5, "sigma_age": 0.3,
+              "sigma_edu": 0.4, "sigma_age_edu": 0.2,
+              "sigma_region": 0.25}
     import jax.numpy as jnp
     import scipy.special as sp
-    a = 0.1 * np.cos(np.arange(51)).astype(np.float32)
     params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
-    params["a"] = jnp.asarray(a)
+    params["a"] = jnp.asarray(
+        0.1 * np.cos(np.arange(51)).astype(np.float32))
+    params["a_age"] = jnp.asarray(
+        0.1 * np.sin(np.arange(4)).astype(np.float32))
+    params["a_edu"] = jnp.asarray(
+        0.05 * np.cos(np.arange(4)).astype(np.float32))
+    params["a_age_edu"] = jnp.asarray(
+        0.03 * np.sin(np.arange(16)).astype(np.float32))
+    params["a_region"] = jnp.asarray(
+        0.2 * np.cos(np.arange(5)).astype(np.float32))
     lp_b, _ = log_density(binned.model, binned.args, {}, params)
     lp_r, _ = log_density(raw.model, raw.args, {}, params)
     # remove the parameter-independent log C(n,k) sum from the binomial
-    total = np.asarray(binned.args[3], np.float64)
-    yes = np.asarray(binned.args[4], np.float64)
+    total = np.asarray(binned.args[5], np.float64)
+    yes = np.asarray(binned.args[6], np.float64)
     log_comb = (sp.gammaln(total + 1) - sp.gammaln(yes + 1)
                 - sp.gammaln(total - yes + 1)).sum()
     np.testing.assert_allclose(float(lp_b) - log_comb, float(lp_r),
