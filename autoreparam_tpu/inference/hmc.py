@@ -95,12 +95,23 @@ def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
     Inputs are the batched adaptation states (DA over (C,), Welford over
     (C, D), inv_mass (C, D)), the post-transition positions z (C, D) and
     acceptance statistic (C,), plus the schedule bits for this step.
-    With `share=True` the chain batch is pooled: one step size driven by
-    the cross-chain mean acceptance and a mass from the law-of-total-
-    variance ensemble decomposition (see HMCConfig.share_adaptation).
+    `share` selects what is pooled across the chain batch:
+
+    - False / "none": per-chain DA + per-chain Welford (Stan-style).
+    - True / "all": one step size driven by the cross-chain mean
+      acceptance AND a mass from the law-of-total-variance ensemble
+      decomposition (see HMCConfig.share_adaptation).
+    - "mass": pooled ensemble mass, per-chain step sizes.  For
+      multi-basin posteriors (german_credit) where stuck chains drag
+      any acceptance pool, but where the ensemble spread is still the
+      only estimator that sees the flat wide directions (a per-chain
+      Welford only ever sees its own local random walk).
+
     Returns (da, wf, inv_mass).
     """
-    if share:
+    share_step = share is True or share == "all"
+    share_mass = share_step or share == "mass"
+    if share_step:
         # arithmetic-mean acceptance across chains (the ChEES-style
         # cross-chain DA statistic), broadcast back to the (C,) DA
         # state.  NOT the harmonic mean: that is dominated by the
@@ -113,7 +124,7 @@ def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
     else:
         da = da_update(da, accept_prob, target_accept)
     if adapt_mass:
-        if share:
+        if share_mass:
             # pool each draw's cross-chain moments into one Welford
             # stream shared by all chains: the ensemble is C times
             # more data per step than any single chain's history
@@ -303,13 +314,15 @@ class HMCConfig(NamedTuple):
     adapt_mass: bool = True
     divergence_threshold: float = 1000.0
     thin: int = 1
-    #: pool adaptation statistics across the chain batch: one shared
-    #: step size driven by the cross-chain harmonic-mean acceptance and
-    #: a mass matrix from cross-chain-pooled variances.  With thousands
-    #: of chains this is both statistically stronger and cheaper than
-    #: per-chain adaptation (the chain axis is an ensemble estimator);
-    #: under sharding the pooling means become ICI collectives.
-    share_adaptation: bool = False
+    #: pool adaptation statistics across the chain batch — with
+    #: thousands of chains the ensemble is both statistically stronger
+    #: and cheaper than per-chain adaptation; under sharding the pooling
+    #: means become ICI collectives.  True/"all": one step size from the
+    #: cross-chain mean acceptance + ensemble mass.  "mass": ensemble
+    #: mass only, per-chain step sizes (for multi-basin posteriors where
+    #: stuck chains drag the acceptance pool).  False/"none": per-chain
+    #: (Stan-style).
+    share_adaptation: object = False
 
 
 def run_hmc(potential_fn: Callable,

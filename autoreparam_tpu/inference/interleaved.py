@@ -159,31 +159,18 @@ def run_interleaved_hmc(model: Callable,
         key, slow, end = xs
         z, ia, ib = outer_step(z, key, jnp.exp(da_cp.log_eps),
                                jnp.exp(da_ncp.log_eps), im_cp, im_ncp)
-        da_cp = H.da_update(da_cp, ia.accept_prob, config.target_accept)
-        da_ncp = H.da_update(da_ncp, ib.accept_prob, config.target_accept)
-        if config.adapt_mass:
-            def upd(wf, zz):
-                wf_new = jax.vmap(H.welford_update)(wf, zz)
-                return jax.tree.map(
-                    lambda a, b: jnp.where(
-                        jnp.reshape(slow, (-1,) + (1,) * (a.ndim - 1)),
-                        b, a), wf, wf_new)
-            wf_cp = upd(wf_cp, z)
-            wf_ncp = upd(wf_ncp, v_to_ncp(z))
-            var_cp = jax.vmap(H.welford_variance)(wf_cp)
-            var_ncp = jax.vmap(H.welford_variance)(wf_ncp)
-            im_cp = jnp.where(end, var_cp, im_cp)
-            im_ncp = jnp.where(end, var_ncp, im_ncp)
-            reset = H.WelfordState(jnp.zeros_like(wf_cp.mean),
-                                   jnp.zeros_like(wf_cp.m2),
-                                   jnp.zeros_like(wf_cp.count))
-            sel = lambda a, b: jnp.where(end, b, a)  # noqa: E731
-            wf_cp = jax.tree.map(sel, wf_cp, reset)
-            wf_ncp = jax.tree.map(sel, wf_ncp, reset)
-            da_cp = jax.tree.map(sel, da_cp,
-                                 H.da_init(jnp.exp(da_cp.log_eps)))
-            da_ncp = jax.tree.map(sel, da_ncp,
-                                  H.da_init(jnp.exp(da_ncp.log_eps)))
+        # each inner kernel adapts in its own coordinate system, through
+        # the shared machinery (incl. pooled/"mass" cross-chain modes)
+        da_cp, wf_cp, im_cp = H.adapt_step(
+            da_cp, wf_cp, im_cp, z, ia.accept_prob, slow, end,
+            target_accept=config.target_accept,
+            adapt_mass=config.adapt_mass,
+            share=config.share_adaptation)
+        da_ncp, wf_ncp, im_ncp = H.adapt_step(
+            da_ncp, wf_ncp, im_ncp, v_to_ncp(z), ib.accept_prob, slow,
+            end, target_accept=config.target_accept,
+            adapt_mass=config.adapt_mass,
+            share=config.share_adaptation)
         return (z, da_cp, da_ncp, wf_cp, wf_ncp, im_cp, im_ncp), None
 
     key, kw, ks = jax.random.split(key, 3)

@@ -37,9 +37,11 @@ METHODS = ("cp", "ncp", "cvip", "dvip", "interleaved")
 INFERENCES = ("hmc", "nuts", "chees", "vi")
 
 #: Models whose posteriors are multi-basin at warmup: stuck chains drag
-#: any cross-chain acceptance pool, so these default to per-chain warmup
-#: (resolved when share_adaptation=None; see run_experiment docstring).
-NO_POOLED_ADAPTATION = frozenset({
+#: any cross-chain acceptance pool, so these default to pooled *mass*
+#: with per-chain step sizes (resolved when share_adaptation=None; the
+#: ensemble spread is still the only estimator that sees their flat
+#: sigma~10 log-scale directions).
+MASS_ONLY_POOLING = frozenset({
     "german_credit_lognormalcentered",
     "german_credit_gammascale",
 })
@@ -83,11 +85,12 @@ def run_experiment(spec: ModelSpec,
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
 
-    `share_adaptation=None` resolves per model: pooled cross-chain
-    warmup everywhere (measured 6.6x min-ESS on radon cVIP, PERF.md)
-    except the multi-basin german_credit posteriors, where chains stuck
-    in bad basins have near-zero acceptance and drag any cross-chain
-    acceptance pool — those default to per-chain (Stan-style) warmup.
+    `share_adaptation=None` resolves per model: fully pooled
+    cross-chain warmup everywhere (measured 6.6x min-ESS on radon cVIP,
+    PERF.md) except the multi-basin german_credit posteriors, where
+    chains stuck in bad basins have near-zero acceptance and drag any
+    cross-chain acceptance pool — those default to pooled mass with
+    per-chain step sizes ("mass"; see hmc.adapt_step).
     """
     if method not in METHODS:
         raise ValueError(f"method {method!r} not in {METHODS}")
@@ -153,7 +156,8 @@ def run_experiment(spec: ModelSpec,
 
     # ---- MCMC --------------------------------------------------------
     if share_adaptation is None:
-        share_adaptation = spec.name not in NO_POOLED_ADAPTATION
+        share_adaptation = ("mass" if spec.name in MASS_ONLY_POOLING
+                            else True)
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog_steps,
                       target_accept=target_accept,
@@ -291,7 +295,7 @@ def run_experiment(spec: ModelSpec,
         "num_warmup": num_warmup,
         "num_leapfrog_steps": num_leapfrog_steps,
         "seed": seed,
-        "share_adaptation": bool(share_adaptation),
+        "share_adaptation": str(share_adaptation),
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),

@@ -143,15 +143,17 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     arr = recover_all(samples, vi.lam)
     jax.block_until_ready(arr)
     log("recover pass done")
-    # direct-lag ESS: O(1) memory at 8k chains; 256 lags >> the Geyer
-    # cutoff for these well-mixed chains (tau ~ 3-10).  tau is estimated
-    # from a 1024-chain subsample (iid chains — unbiased; >500k draws is
-    # far beyond what the tau estimate needs) to bound HBM traffic.
+    # MEASURED ESS on the full chain array via the direct-lag path (O(1)
+    # extra memory at any chain count; 256 lags >> the Geyer cutoff for
+    # these well-mixed chains, tau ~ 3-10).  A 1024-chain-subsample
+    # extrapolation (x C/1024, valid for iid chains) is reported
+    # alongside as a cross-check of the estimator, not as the headline.
     t0 = time.perf_counter()
+    ess = np.asarray(dg.effective_sample_size(arr, max_lags=256))
+    log(f"ESS (full, {C} chains): {time.perf_counter()-t0:.1f}s")
     C_tau = min(1024, C)
-    ess_sub = dg.effective_sample_size(arr[:, :C_tau], max_lags=256)
-    ess = np.asarray(ess_sub) * (C / C_tau)
-    log(f"ESS: {time.perf_counter()-t0:.1f}s")
+    ess_extrap = np.asarray(
+        dg.effective_sample_size(arr[:, :C_tau], max_lags=256)) * (C / C_tau)
     rhat = np.asarray(dg.potential_scale_reduction(arr))
     extra = {}
     if engine == "chees":
@@ -162,13 +164,18 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     return {
         "engine": engine,
         **extra,
-        "ess_min": float(ess.min()),
+        "ess_min": float(ess.min()),                  # measured, all chains
         "ess_mean": float(ess.mean()),
+        "ess_min_extrapolated_1024": float(ess_extrap.min()),
         "rhat_max": float(rhat.max()),
+        "converged": bool(rhat.max() < 1.05),
         "wall_s": wall,
         "vi_wall_s": vi_wall,
         "compile_s": compile_and_first - wall,
         "ess_per_sec": float(ess.min() / wall),
+        # VI phase amortized in (one-off per model; the sampling-only
+        # number is the per-run steady state, same convention both sides)
+        "ess_per_sec_amortized": float(ess.min() / (wall + vi_wall)),
         "num_chains": num_chains,
         "num_samples": num_samples,
         "backend": jax.default_backend(),
@@ -199,9 +206,19 @@ def cpu_baseline():
 def main():
     mode = os.environ.get("BENCH_MODE", "tpu")
     if mode == "baseline":
-        # CPU reference: typical 4-chain practitioner config
-        res = run_pipeline(num_chains=4, num_warmup=500, num_samples=500,
-                           num_leapfrog=16, vi_steps=1000)
+        # CPU reference: typical 4-chain practitioner config, run TO
+        # CONVERGENCE (R-hat < 1.05) — ESS estimates above R-hat ~1.1
+        # are unreliable, which would make the speedup ratio soft.
+        warmup, samples = 2000, 2000
+        for attempt in range(3):
+            res = run_pipeline(num_chains=4, num_warmup=warmup,
+                               num_samples=samples, num_leapfrog=16,
+                               vi_steps=1500)
+            if res["rhat_max"] < 1.05:
+                break
+            log(f"baseline rhat {res['rhat_max']:.3f} >= 1.05; doubling")
+            warmup *= 2
+            samples *= 2
         print(json.dumps(res))
         return
 

@@ -64,6 +64,24 @@ def main():
         save_result(args.results_dir, res.summary)
         return res
 
+    def means_agree(a, b, se_mult=5.0, floor_frac=0.10):
+        """Per-dim posterior-mean agreement between two runs sharing
+        param_names: |Δmean| < max(se_mult·combined MC se, floor_frac·σ)
+        on EVERY dimension.  Returns (ok, worst_name, worst_ratio)."""
+        names_a, names_b = a["param_names"], b["param_names"]
+        assert names_a == names_b, (names_a, names_b)
+        worst, worst_name, ok = 0.0, "", True
+        for i, name in enumerate(names_a):
+            sd = max(float(a["std"][i]), float(b["std"][i]), 1e-6)
+            se = sd * np.sqrt(1 / max(a["ess"][i], 1)
+                              + 1 / max(b["ess"][i], 1))
+            tol = max(se_mult * se, floor_frac * sd)
+            ratio = abs(float(a["mean"][i]) - float(b["mean"][i])) / tol
+            if ratio > worst:
+                worst, worst_name = ratio, name
+            ok = ok and ratio <= 1.0
+        return ok, worst_name, worst
+
     # ---- 1: eight_schools CP HMC vs NCP oracle -----------------------
     if 1 not in skip:
         spec = get_model("eight_schools")
@@ -75,14 +93,16 @@ def main():
                           inference="hmc", seed=0, **sz)
         ncp = run_and_save("1b-eight_schools-ncp-oracle", spec,
                            method="ncp", inference="hmc", seed=1, **sz)
-        i_cp = cp.summary["param_names"].index("mu")
-        i_ncp = ncp.summary["param_names"].index("mu")
-        mu_cp, mu_ncp = cp.summary["mean"][i_cp], ncp.summary["mean"][i_ncp]
-        se = 3.3 * np.sqrt(1 / max(cp.summary["ess"][i_cp], 1)
-                           + 1 / max(ncp.summary["ess"][i_ncp], 1))
-        ok = abs(mu_cp - mu_ncp) < max(4 * se, 0.4)
+        agree, wname, wr = means_agree(cp.summary, ncp.summary)
+        rhat_bar = 1.3 if q else 1.05
+        # CP on eight_schools mixes poorly by design (that's the paper's
+        # point); convergence is claimed of the NCP oracle, accuracy of
+        # CP against it
+        ok = agree and ncp.summary["rhat_max"] < rhat_bar
         record(1, "eight_schools CP-HMC", cp.summary, ok,
-               f"mu: cp={mu_cp:.2f} ncp={mu_ncp:.2f} (4se={4*se:.2f})")
+               f"worst dim {wname}: {wr:.2f}x tol; "
+               f"rhat ncp={ncp.summary['rhat_max']:.3f} "
+               f"cp={cp.summary['rhat_max']:.3f}")
 
     # ---- 2: funnel NCP + dual averaging ------------------------------
     if 2 not in skip:
@@ -95,40 +115,59 @@ def main():
                            num_leapfrog_steps=8, seed=0)
         i = res.summary["param_names"].index("v")
         m, s = res.summary["mean"][i], res.summary["std"][i]
-        ok = abs(m) < 0.3 and abs(s - 3.0) < 0.35
+        rhat_bar = 1.3 if q else 1.05
+        ok = (abs(m) < 0.3 and abs(s - 3.0) < 0.35
+              and res.summary["rhat_max"] < rhat_bar)
         record(2, "funnel NCP-HMC", res.summary, ok,
                f"v: mean={m:.2f} (0), std={s:.2f} (3.0), "
                f"rhat={res.summary['rhat_max']:.3f}")
 
     # ---- 3: radon MN cVIP-HMC ----------------------------------------
+    # Strict bars: cVIP must (a) converge (R-hat), (b) agree with an
+    # independent-seed NCP oracle on every posterior mean, (c) actually
+    # help: ess/grad >= min(CP, NCP) at the same budget, and (d) learn a
+    # genuinely per-variable λ.
     if 3 not in skip:
         spec = get_model("radon", "MN")
+        sz3 = dict(num_chains=32 if q else 256,
+                   num_warmup=200 if q else 1500,
+                   num_samples=200 if q else 1000,
+                   num_leapfrog_steps=8 if q else 16)
         res = run_and_save("3-radon-cvip", spec, method="cvip",
-                           inference="hmc",
-                           num_chains=32 if q else 256,
-                           num_warmup=200 if q else 1000,
-                           num_samples=200 if q else 1000,
-                           num_leapfrog_steps=8 if q else 16,
                            num_optimization_steps=600 if q else 3000,
-                           learning_rate=0.05, seed=0)
+                           learning_rate=0.05, inference="hmc", seed=0,
+                           **sz3)
+        cp3 = run_and_save("3b-radon-cp", spec, method="cp",
+                           inference="hmc", seed=1, **sz3)
+        ncp3 = run_and_save("3c-radon-ncp-oracle", spec, method="ncp",
+                            inference="hmc", seed=2, **sz3)
         lam_a = np.asarray(res.summary["lambda"]["a"])
-        ok = (res.summary["rhat_max"] < 1.2
+        agree, wname, wr = means_agree(res.summary, ncp3.summary)
+        floor = min(cp3.summary["ess_per_grad_min"],
+                    ncp3.summary["ess_per_grad_min"])
+        rhat_bar = 1.3 if q else 1.05
+        ok = (res.summary["rhat_max"] < rhat_bar
+              and agree
+              and res.summary["ess_per_grad_min"] >= floor
               and 0.0 <= lam_a.mean() <= 1.0
               and lam_a.std() > 0.005)  # per-variable λ actually varies
         record(3, "radon-MN cVIP-HMC", res.summary, ok,
-               f"lambda[a]: mean={lam_a.mean():.2f} std={lam_a.std():.2f}"
-               f", rhat={res.summary['rhat_max']:.3f}")
+               f"rhat={res.summary['rhat_max']:.3f}, worst dim {wname}: "
+               f"{wr:.2f}x tol, ess/grad cvip="
+               f"{res.summary['ess_per_grad_min']:.1f} vs min(cp,ncp)="
+               f"{floor:.1f}, lambda[a] std={lam_a.std():.2f}")
 
     # ---- 4: german_credit iHMC ---------------------------------------
-    # The paper's claim for this config is *relative*: iHMC matches or
-    # beats the better of CP/NCP per gradient on the centered-LogNormal
-    # geometry (absolute convergence at small budgets is not expected —
-    # this posterior is the pathological case iHMC exists for).
+    # The paper's claim: iHMC matches or beats the better of CP/NCP per
+    # gradient on the centered-LogNormal geometry, converged.  This
+    # posterior (f32 funnels, sigma=10 log-scale priors) is the
+    # pathological case iHMC exists for and needs the large full-mode
+    # budget below to pass R-hat < 1.1 for ANY method.
     if 4 not in skip:
         spec = get_model("german_credit_lognormalcentered")
-        sz4 = dict(num_chains=16 if q else 64,
-                   num_warmup=300 if q else 3000,
-                   num_samples=300 if q else 1000,
+        sz4 = dict(num_chains=16 if q else 128,
+                   num_warmup=300 if q else 15000,
+                   num_samples=300 if q else 5000,
                    num_leapfrog_steps=8 if q else 16)
         ih = run_and_save("4-german-ihmc", spec, method="interleaved",
                           inference="hmc", seed=0, **sz4)
@@ -138,8 +177,10 @@ def main():
                            inference="hmc", seed=2, **sz4)
         best = max(cp4.summary["ess_per_grad_min"],
                    ncp4.summary["ess_per_grad_min"])
+        # strict bars (paper claim is >= best of CP/NCP, converged)
         ok = (np.isfinite(ih.summary["ess_min"])
-              and ih.summary["ess_per_grad_min"] >= 0.5 * best)
+              and ih.summary["ess_per_grad_min"] >= best
+              and ih.summary["rhat_max"] < (1.5 if q else 1.1))
         record(4, "german_credit iHMC", ih.summary, ok,
                f"ess/grad: ihmc={ih.summary['ess_per_grad_min']:.4f} "
                f"cp={cp4.summary['ess_per_grad_min']:.4f} "
@@ -155,7 +196,7 @@ def main():
                            num_warmup=100 if q else 300,
                            num_samples=100 if q else 300,
                            max_tree_depth=6, seed=0)
-        ok = (res.summary["rhat_max"] < 1.1
+        ok = (res.summary["rhat_max"] < (1.3 if q else 1.05)
               and res.summary["ess_min"] > (50 if q else 5000))
         record(5, "election88 8192-chain NUTS", res.summary, ok,
                f"chains={res.summary['num_chains']}, "
