@@ -43,6 +43,11 @@ flags.DEFINE_integer("seed", 0, "PRNG seed")
 flags.DEFINE_string("results_dir", "./results", "output directory")
 flags.DEFINE_bool("save_samples", False, "also save raw samples (.npz)")
 flags.DEFINE_bool("shard", False, "shard chains over all local devices")
+flags.DEFINE_enum("share_adaptation", "auto",
+                  ["auto", "all", "mass", "none"],
+                  "cross-chain warmup pooling: auto = per-model default, "
+                  "all = pooled step size + ensemble mass, mass = "
+                  "ensemble mass only, none = per-chain (Stan-style)")
 flags.DEFINE_list("leapfrog_sweep", None,
                   "sweep --num_leapfrog_steps over these values "
                   "(reference main.py's sweep loop), e.g. 2,4,8,16")
@@ -82,7 +87,9 @@ def _run_one(spec, num_leapfrog):
         num_mc_samples=FLAGS.num_mc_samples,
         learning_rate=FLAGS.learning_rate,
         target_accept=FLAGS.target_accept,
-        seed=FLAGS.seed, shard=FLAGS.shard)
+        seed=FLAGS.seed, shard=FLAGS.shard,
+        share_adaptation={"auto": None, "all": True, "mass": "mass",
+                          "none": False}[FLAGS.share_adaptation])
 
     s = res.summary
     # (sweep runs no longer need a mangled method name: result files are

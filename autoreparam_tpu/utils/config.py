@@ -31,18 +31,25 @@ def base_config() -> ml_collections.ConfigDict:
     c.target_accept = 0.75
     c.seed = 0
     c.shard = False
+    # "auto": pooled cross-chain warmup, except mass-only pooling on the
+    # multi-basin german posteriors (pipeline.MASS_ONLY_POOLING)
+    c.share_adaptation = "auto"
     c.results_dir = "./results"
     return c
 
 
-# per-model tuned overrides (sampler geometry differs per model family)
+# per-model tuned overrides (sampler geometry differs per model family;
+# the german posteriors need the large budgets to converge at all —
+# R-hat trend 1.47@5k -> 1.17@15k warmup for ANY method)
 _PRESETS = {
     "eight_schools": dict(num_leapfrog_steps=16),
     "neals_funnel": dict(num_leapfrog_steps=8),
     "radon": dict(dataset="MN", learning_rate=0.05),
     "german_credit_lognormalcentered": dict(
-        num_warmup=3000, num_leapfrog_steps=16, method="interleaved"),
-    "german_credit_gammascale": dict(num_warmup=2000),
+        num_warmup=30000, num_samples=10000, num_leapfrog_steps=16,
+        num_optimization_steps=5000, method="interleaved"),
+    "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
+                                     num_optimization_steps=5000),
     "election88": dict(inference="nuts", max_tree_depth=6,
                        num_chains=8192, num_warmup=300, num_samples=300),
     "electric": dict(num_leapfrog_steps=8),
@@ -72,4 +79,6 @@ def run_from_config(c: ml_collections.ConfigDict):
         num_mc_samples=c.num_mc_samples,
         learning_rate=c.learning_rate,
         target_accept=c.target_accept,
-        seed=c.seed, shard=c.shard)
+        seed=c.seed, shard=c.shard,
+        share_adaptation=(None if c.share_adaptation == "auto"
+                          else c.share_adaptation))

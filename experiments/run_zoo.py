@@ -31,9 +31,11 @@ DEFAULT_METHODS = ["cp", "ncp", "cvip", "dvip", "interleaved"]
 # budget to converge for ANY method — the reference likewise tuned
 # budgets per model (its main.py swept leapfrog steps; SURVEY.md §3.1)
 FULL_OVERRIDES = {
-    "german_credit_lognormalcentered": dict(num_warmup=5000,
-                                            num_samples=2000),
-    "german_credit_gammascale": dict(num_warmup=5000, num_samples=2000),
+    "german_credit_lognormalcentered": dict(num_warmup=30000,
+                                            num_samples=10000,
+                                            num_optimization_steps=5000),
+    "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
+                                     num_optimization_steps=5000),
 }
 
 
