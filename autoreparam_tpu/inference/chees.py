@@ -165,12 +165,16 @@ def run_chees(potential_fn: Callable,
         traj = u * jnp.exp(log_T)
         (z, pot, grad, accept_prob, chees_grad, n_steps,
          _) = transition(z, pot, grad, key, eps, inv_mass, traj)
-        # dual averaging on the cross-chain harmonic-mean acceptance
-        mean_acc = 1.0 / jnp.mean(1.0 / jnp.maximum(accept_prob, 1e-4))
+        # dual averaging on the cross-chain mean acceptance (arithmetic:
+        # a harmonic mean is dominated by a few stuck chains and
+        # collapses the shared step size; cf. hmc.adapt_step)
+        mean_acc = jnp.mean(accept_prob)
         da = H.da_update(da, mean_acc, cfg.target_accept)
-        # Adam ascent on log T with the normalized ChEES gradient
+        # Adam ascent on log T with the raw ChEES gradient: Adam's
+        # second moment is the running RMS normalizer, so magnitude
+        # information survives (a sign-normalized gradient degrades
+        # Adam to a fixed-step line search)
         g = chees_grad * jnp.exp(log_T)  # chain rule d/dlogT
-        g = g / (jnp.abs(g) + 1e-12)     # sign-normalized (robust)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         adam, step = adam_update(adam, -g, cfg.adam_lr)
         log_T_new = log_T - step

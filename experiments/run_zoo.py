@@ -26,16 +26,19 @@ DEFAULT_MODELS = ["eight_schools", "neals_funnel", "radon",
                   "electric"]
 DEFAULT_METHODS = ["cp", "ncp", "cvip", "dvip", "interleaved"]
 
-# per-model budget overrides (full mode only): the german_credit
-# posteriors (f32 funnels with sigma=10 log-scale priors) need a larger
-# budget to converge for ANY method — the reference likewise tuned
-# budgets per model (its main.py swept leapfrog steps; SURVEY.md §3.1)
+# per-model overrides (full mode only): the german_credit posteriors
+# (f32 funnels with sigma=10 log-scale priors) need a larger budget to
+# converge for ANY method — the reference likewise tuned budgets per
+# model (its main.py swept leapfrog steps; SURVEY.md §3.1).  radon's
+# lambda* needs the longer/cooler VI to converge (measured: cVIP
+# 87.7 -> 923.9 ess/grad, rhat 1.065 -> 1.008 at the same HMC budget).
 FULL_OVERRIDES = {
     "german_credit_lognormalcentered": dict(num_warmup=30000,
                                             num_samples=10000,
                                             num_optimization_steps=5000),
     "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
                                      num_optimization_steps=5000),
+    "radon": dict(num_optimization_steps=6000, learning_rate=0.02),
 }
 
 
