@@ -189,7 +189,7 @@ def run_chees(potential_fn: Callable,
             inv_mass = (cfg.mass_ema * inv_mass
                         + (1 - cfg.mass_ema) * ens_var)
         return ((z, pot, grad, da, log_T, adam, inv_mass),
-                (mean_acc, jnp.exp(log_T), n_steps))
+                (accept_prob, jnp.exp(log_T), n_steps))
 
     key, k_warm, k_samp = jax.random.split(key, 3)
     da0 = H.da_init(jnp.asarray(cfg.init_step_size, dtype))
@@ -198,14 +198,21 @@ def run_chees(potential_fn: Callable,
                        jnp.zeros((), dtype))
 
     carry = (init_positions, pot0, grad0, da0, log_T0, adam0, inv_mass0)
+    stuck = jnp.zeros((C,), bool)
     if cfg.num_warmup > 0:
         carry, (warm_acc, T_trace, L_trace) = jax.lax.scan(
             warm_step, carry,
             (jax.random.split(k_warm, cfg.num_warmup),
              halton[:cfg.num_warmup]))
+        z, pot, grad, da, log_T, _, inv_mass = carry
+        # the shared (ε, T) have no per-chain escape hatch; teleport
+        # chains that ended warmup stuck (see hmc.rescue_stuck_chains)
+        (z, pot, grad), stuck = H.rescue_stuck_chains(
+            (z, pot, grad), warm_acc, jax.random.fold_in(key, 7))
     else:
-        warm_acc = T_trace = L_trace = jnp.zeros((0,), dtype)
-    z, pot, grad, da, log_T, _, inv_mass = carry
+        warm_acc = jnp.zeros((0, C), dtype)
+        T_trace = L_trace = jnp.zeros((0,), dtype)
+        z, pot, grad, da, log_T, _, inv_mass = carry
     eps_final = jnp.exp(da.log_eps_bar)
     T_final = jnp.exp(log_T)
 
@@ -235,7 +242,8 @@ def run_chees(potential_fn: Callable,
         "num_grad_evals_per_sample": jnp.mean(
             n_steps.astype(dtype)),
         "divergences": div,
-        "warmup_accept": warm_acc,
+        "rescued_chains": stuck,
+        "warmup_accept": warm_acc,                # (W, C)
         "warmup_T_trace": T_trace,
     }
     return samples, stats

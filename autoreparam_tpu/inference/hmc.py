@@ -156,6 +156,43 @@ def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
     return da, wf, inv_mass
 
 
+def rescue_stuck_chains(state_tree, warm_accept, key,
+                        threshold: float = 0.05, tail: int = 100):
+    """Teleport chains that finished warmup stuck to healthy donors.
+
+    A fully pooled step size has no per-chain escape hatch: a chain that
+    wandered into an extreme-curvature tail during warmup can sit at
+    ~zero acceptance forever while the cross-chain mean (and hence the
+    shared ε) looks perfect — observed on eight_schools NCP (one chain
+    at 0.00 acceptance among 31 at 0.99 → R-hat 292).  At the END of
+    warmup, any chain whose recent mean acceptance is < `threshold` is
+    re-initialized at the position of a random healthy (top-half) chain.
+    This is a pure re-initialization before the kept samples, so the
+    sampling phase's invariance is untouched.
+
+    `state_tree`: pytree with leading chain axis (e.g. HMCState or a
+    bare (C, D) position array).  `warm_accept`: (W, C) warmup
+    acceptance trace.  Returns (state_tree, stuck_mask).
+    """
+    W, C = warm_accept.shape
+    if W == 0:
+        return state_tree, jnp.zeros((C,), bool)
+    t = min(tail, W)
+    tail_acc = jnp.mean(warm_accept[-t:], axis=0)
+    stuck = tail_acc < threshold
+    order = jnp.argsort(-tail_acc)          # healthiest first
+    ridx = jax.random.randint(key, (C,), 0, max(C // 2, 1))
+    donor = order[ridx]
+
+    def tp(a):
+        if getattr(a, "ndim", 0) == 0:
+            return a
+        mask = stuck.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, a[donor], a)
+
+    return jax.tree.map(tp, state_tree), stuck
+
+
 class HMCState(NamedTuple):
     z: jnp.ndarray          # (D,) unconstrained position
     pot: jnp.ndarray        # U(z)
@@ -396,6 +433,13 @@ def run_hmc(potential_fn: Callable,
         warm_accept = jnp.zeros((0, C), dtype)
         step_size_final = jnp.full((C,), config.init_step_size, dtype)
 
+    share_step = (config.share_adaptation is True
+                  or config.share_adaptation == "all")
+    stuck = jnp.zeros((C,), bool)
+    if share_step and n_w > 0:
+        state0, stuck = rescue_stuck_chains(
+            state0, warm_accept, jax.random.fold_in(key, 7))
+
     if collect_fn is None:
         collect_fn = lambda z: z  # noqa: E731
 
@@ -429,6 +473,7 @@ def run_hmc(potential_fn: Callable,
         "accept_prob": accept_probs,             # (S, C)
         "divergences": divergences,              # (S, C)
         "final_state": state_final,
+        "rescued_chains": stuck,                 # (C,) bool
         "num_grad_evals_per_sample": config.num_leapfrog_steps
         * config.thin,
     }

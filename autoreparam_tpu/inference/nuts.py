@@ -319,11 +319,17 @@ def run_nuts(potential_fn: Callable,
 
     key, kw, ks = jax.random.split(key, 3)
     z0 = init_positions
+    stuck = jnp.zeros((C,), bool)
     if num_warmup > 0:
-        (z0, da0, _, inv_mass0), _ = jax.lax.scan(
+        (z0, da0, _, inv_mass0), warm_accept = jax.lax.scan(
             warm_step, (z0, da0, wf0, inv_mass0),
             (jax.random.split(kw, num_warmup), is_slow, is_end))
         step_final = jnp.exp(da0.log_eps_bar)
+        if share_adaptation is True or share_adaptation == "all":
+            # pooled step sizes have no per-chain escape hatch; teleport
+            # chains that ended warmup stuck (see hmc.rescue_stuck_chains)
+            z0, stuck = H.rescue_stuck_chains(
+                z0, warm_accept, jax.random.fold_in(key, 7))
     else:
         step_final = jnp.full((C,), init_step_size, dtype)
 
@@ -345,6 +351,7 @@ def run_nuts(potential_fn: Callable,
         "accept_prob": acc,
         "divergences": div,
         "tree_depth": depth,
+        "rescued_chains": stuck,
         "num_grad_evals_per_sample": jnp.mean(grads),
         "final_position": z_final,
     }

@@ -114,3 +114,46 @@ def test_hmc_shared_adaptation():
     np.testing.assert_allclose(ss, ss[0], rtol=1e-5)
     acc = float(np.asarray(stats["accept_prob"]).mean())
     assert 0.6 < acc < 0.98
+
+
+def test_rescue_stuck_chains():
+    """A chain with ~zero warmup-tail acceptance is teleported to a
+    healthy donor position; healthy chains are untouched (pooled step
+    sizes have no per-chain escape hatch — eight_schools NCP showed one
+    chain at 0.00 acceptance among 31 at 0.99, R-hat 292)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from autoreparam_tpu.inference.hmc import (HMCState,
+                                               rescue_stuck_chains)
+
+    C, D = 8, 3
+    z = jnp.arange(C * D, dtype=jnp.float32).reshape(C, D)
+    state = HMCState(z=z, pot=jnp.arange(C, dtype=jnp.float32),
+                     grad=z * 2.0)
+    warm = jnp.ones((50, C))
+    warm = warm.at[:, 3].set(0.001)        # chain 3 is stuck
+    new_state, stuck = rescue_stuck_chains(state, warm,
+                                           jax.random.PRNGKey(0))
+    stuck = np.asarray(stuck)
+    assert stuck.tolist() == [False, False, False, True, False, False,
+                              False, False]
+    # healthy rows identical
+    for c in range(C):
+        if c == 3:
+            continue
+        np.testing.assert_array_equal(np.asarray(new_state.z[c]),
+                                      np.asarray(z[c]))
+    # stuck row replaced by some healthy donor row (consistent tree-wide)
+    nz = np.asarray(new_state.z[3])
+    donors = [c for c in range(C) if c != 3
+              and np.array_equal(nz, np.asarray(z[c]))]
+    assert len(donors) == 1, nz
+    d = donors[0]
+    assert float(new_state.pot[3]) == float(state.pot[d])
+    np.testing.assert_array_equal(np.asarray(new_state.grad[3]),
+                                  np.asarray(state.grad[d]))
+    # zero-warmup: no-op
+    s2, st2 = rescue_stuck_chains(state, jnp.zeros((0, C)),
+                                  jax.random.PRNGKey(0))
+    assert not bool(np.asarray(st2).any())
