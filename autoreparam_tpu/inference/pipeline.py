@@ -81,7 +81,9 @@ def run_experiment(spec: ModelSpec,
                    collect_constrained: bool = True,
                    log_readout: bool = True,
                    shard: bool = False,
-                   share_adaptation: Optional[bool] = None
+                   share_adaptation: Optional[bool] = None,
+                   use_vi_init: bool = True,
+                   use_vi_mass: bool = True
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
 
@@ -166,10 +168,17 @@ def run_experiment(spec: ModelSpec,
     inv_mass = None
     if vi_res is not None and method in ("cvip", "dvip"):
         # chains start at q* draws; per-variable scaling from q* stddevs
-        # (reference: init_state ~ q*, step sizes ∝ s*; SURVEY.md §4.2)
-        init = _init_chains(k_init, num_chains, info.dim,
-                            loc=vi_res.loc, q_scale=vi_res.scale)
-        inv_mass = vi_res.scale ** 2
+        # (reference: init_state ~ q*, step sizes ∝ s*; SURVEY.md §4.2).
+        # use_vi_init/use_vi_mass disable either leg (diagnostics knobs:
+        # mean-field q* can under-disperse the start or under-estimate
+        # flat directions' mass on some geometries).
+        if use_vi_init:
+            init = _init_chains(k_init, num_chains, info.dim,
+                                loc=vi_res.loc, q_scale=vi_res.scale)
+        else:
+            init = _init_chains(k_init, num_chains, info.dim)
+        if use_vi_mass:
+            inv_mass = vi_res.scale ** 2
     else:
         init = _init_chains(k_init, num_chains, info.dim)
 

@@ -39,6 +39,10 @@ FULL_OVERRIDES = {
     "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
                                      num_optimization_steps=5000),
     "radon": dict(num_optimization_steps=6000, learning_rate=0.02),
+    # full G&H ch.14 model (89 dims, interacting hierarchies): needs a
+    # bigger budget + the converged-lambda VI recipe
+    "election88": dict(num_warmup=10000, num_samples=5000,
+                       num_optimization_steps=6000, learning_rate=0.02),
 }
 
 
