@@ -123,3 +123,34 @@ def test_all_methods_agree_on_posterior():
     for method, mval in means.items():
         tol = 5 * np.hypot(ses[method], ses["ncp"]) + 0.05
         assert abs(mval - ref) < tol, (method, mval, ref, tol)
+
+
+def test_german_gammascale_cross_method_consistency():
+    """german_credit_gammascale (SURVEY.md §1): Gamma precisions are not
+    location-scale, so only beta is reparameterisable — CP and NCP must
+    agree on the posterior, and the cvip pipeline must run end to end
+    (its lambda is inert on the Gamma sites by construction)."""
+    import numpy as np
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models import get_model
+
+    spec = get_model("german_credit_gammascale")
+    sz = dict(num_chains=8, num_warmup=500, num_samples=400,
+              num_leapfrog_steps=8, num_optimization_steps=400)
+    runs = {m: run_experiment(spec, method=m, inference="hmc", seed=i,
+                              **sz)
+            for i, m in enumerate(("cp", "interleaved"))}
+    a, b = runs["cp"].summary, runs["interleaved"].summary
+    assert a["param_names"] == b["param_names"]
+    # beta dims are well-identified; compare those (the log-precision
+    # dims need far larger budgets to pin their means tightly)
+    for i, name in enumerate(a["param_names"]):
+        if not name.startswith("beta"):
+            continue
+        sd = max(a["std"][i], b["std"][i], 1e-3)
+        assert abs(a["mean"][i] - b["mean"][i]) < 0.5 * sd, (
+            name, a["mean"][i], b["mean"][i], sd)
+    # eligibility: only beta is VIP-eligible on this variant
+    from autoreparam_tpu.reparam.handler import eligible_sites
+    el = set(eligible_sites(spec.model, spec.args))
+    assert el == {"beta"}, el
