@@ -48,6 +48,11 @@ flags.DEFINE_enum("share_adaptation", "auto",
                   "cross-chain warmup pooling: auto = per-model default, "
                   "all = pooled step size + ensemble mass, mass = "
                   "ensemble mass only, none = per-chain (Stan-style)")
+flags.DEFINE_float("vi_mass_min_is_ess", 0.002,
+                   "minimum relative importance-sampling ESS of q* vs "
+                   "the posterior for the q*-variance mass seed to be "
+                   "trusted (cvip/dvip); below it warmup starts from "
+                   "the identity mass")
 flags.DEFINE_list("leapfrog_sweep", None,
                   "sweep --num_leapfrog_steps over these values "
                   "(reference main.py's sweep loop), e.g. 2,4,8,16")
@@ -88,6 +93,7 @@ def _run_one(spec, num_leapfrog):
         learning_rate=FLAGS.learning_rate,
         target_accept=FLAGS.target_accept,
         seed=FLAGS.seed, shard=FLAGS.shard,
+        vi_mass_min_is_ess=FLAGS.vi_mass_min_is_ess,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])
 

@@ -57,6 +57,31 @@ class ExperimentResult(NamedTuple):
     model: Callable                   # the (reparameterised) model sampled
 
 
+def _vi_is_ess_frac(pot, vi_res, key, n=4096):
+    """Relative importance-sampling ESS of q* against the true posterior
+    (Yao et al. 2018 "Yes, but did it work?" — the cheap mean-field
+    trust diagnostic).  Draw n samples from q*, weight by p/q, and
+    return ESS(w)/n ∈ (0, 1]: near 1 when q* ≈ posterior, collapsing
+    toward 1/n when mean-field missed the geometry.
+
+    Measured values on the zoo (n=4096): eight_schools 0.24, radon-MN
+    0.049, german lognormal 0.0031, german gammascale 0.00089.  Only
+    the last — a handful of effective draws — marks a q* whose variance
+    seed traps warmup (importance-*correcting* the seed was tried and
+    is no better: from a collapsed proposal the weights never see the
+    posterior tails, so the weighted variance stays collapsed)."""
+    eps = jax.random.normal(key, (n, vi_res.loc.shape[-1]))
+    z = vi_res.loc + vi_res.scale * eps
+    log_q = jnp.sum(-0.5 * eps ** 2 - jnp.log(vi_res.scale)
+                    - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1)
+    log_w = -jax.vmap(pot)(z) - log_q
+    log_w = jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf)
+    log_w = log_w - jnp.max(log_w)
+    w = jnp.exp(log_w)
+    frac = jnp.sum(w) ** 2 / (n * jnp.sum(w * w))
+    return float(frac)
+
+
 def _init_chains(key, num_chains, dim, scale=0.5, loc=None, q_scale=None):
     eps = jax.random.normal(key, (num_chains, dim))
     if loc is not None:
@@ -83,7 +108,8 @@ def run_experiment(spec: ModelSpec,
                    shard: bool = False,
                    share_adaptation: Optional[bool] = None,
                    use_vi_init: bool = True,
-                   use_vi_mass: bool = True
+                   use_vi_mass: bool = True,
+                   vi_mass_min_is_ess: float = 0.002
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
 
@@ -166,6 +192,7 @@ def run_experiment(spec: ModelSpec,
                       share_adaptation=share_adaptation)
 
     inv_mass = None
+    vi_is_ess = None
     if vi_res is not None and method in ("cvip", "dvip"):
         # chains start at q* draws; per-variable scaling from q* stddevs
         # (reference: init_state ~ q*, step sizes ∝ s*; SURVEY.md §4.2).
@@ -178,7 +205,28 @@ def run_experiment(spec: ModelSpec,
         else:
             init = _init_chains(k_init, num_chains, info.dim)
         if use_vi_mass:
-            inv_mass = vi_res.scale ** 2
+            # Mean-field q* under-estimates marginal scales exactly on
+            # the posteriors VIP cannot decorrelate (measured: german
+            # gammascale q* scale 0.10 vs posterior sd 1.3 on the
+            # log-precisions, posterior left correlated because the
+            # only eligible site, beta ~ N(0,1), makes VIP an
+            # identity).  Seeding the inverse mass with that collapsed
+            # q*² traps the windowed ensemble estimator: chains start
+            # in the collapsed q* ball, every window's variance ≈ the
+            # collapsed seed, and 30k warmup steps never escape
+            # (measured ess/grad 8.5 vs 91 under identity mass).  Gate
+            # the seed on the q* trust diagnostic (one vmapped
+            # potential eval; see _vi_is_ess_frac): a q* with only a
+            # handful of effective draws forfeits its mass seed and
+            # warmup starts from the identity.  The threshold sits
+            # between german-lognormal (0.0031 — q*² still the best
+            # seed, measured 8.6 vs 5.8 without) and german-gammascale
+            # (0.00089 — identity wins, 90.4 vs 8.5).
+            pot_d = make_potential_fn(sampled_model, info, args, kwargs)
+            vi_is_ess = _vi_is_ess_frac(pot_d, vi_res,
+                                        jax.random.fold_in(k_init, 1))
+            if vi_is_ess >= vi_mass_min_is_ess:
+                inv_mass = vi_res.scale ** 2
     else:
         init = _init_chains(k_init, num_chains, info.dim)
 
@@ -314,6 +362,9 @@ def run_experiment(spec: ModelSpec,
     }
     if lam is not None:
         summary["lambda"] = {k: np.asarray(v) for k, v in lam.items()}
+    if vi_is_ess is not None:
+        summary["vi_is_ess_frac"] = vi_is_ess
+        summary["vi_mass_used"] = bool(inv_mass is not None)
     if vi_res is not None:
         # persist q* so the HMC phase is reproducible from artifacts
         # alone (reference: VI outputs reloaded by the HMC phase,

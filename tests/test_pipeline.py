@@ -89,3 +89,35 @@ def test_config_presets():
     c.method = "ncp"
     res = run_from_config(c)
     assert np.isfinite(res.summary["ess_min"])
+
+
+def test_vi_is_ess_trust_diagnostic():
+    """The q* trust diagnostic (relative importance-sampling ESS) must
+    separate a collapsed mean-field surrogate from an accurate one —
+    it gates whether the q*-variance mass seed is used (the
+    german-gammascale failure mode: q* scale 0.10 vs posterior sd 1.3
+    trapped warmup's windowed ensemble estimator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from autoreparam_tpu.inference.pipeline import _vi_is_ess_frac
+    from autoreparam_tpu.inference.vi import VIResult
+
+    true_var = jnp.concatenate([jnp.full(10, 4.0), jnp.full(10, 0.25)])
+
+    def pot(z):  # N(0, diag(true_var))
+        return 0.5 * jnp.sum(z ** 2 / true_var)
+
+    # collapsed surrogate: scales 5x too small (variance 25x off)
+    vi_bad = VIResult(loc=jnp.zeros(20), scale=jnp.sqrt(true_var) / 5.0,
+                      lam={}, elbo_trace=None, info=None)
+    frac_bad = _vi_is_ess_frac(pot, vi_bad, jax.random.PRNGKey(0),
+                               n=8192)
+    # accurate surrogate
+    vi_good = VIResult(loc=jnp.zeros(20), scale=jnp.sqrt(true_var),
+                       lam={}, elbo_trace=None, info=None)
+    frac_good = _vi_is_ess_frac(pot, vi_good, jax.random.PRNGKey(1),
+                                n=8192)
+    assert frac_good > 0.5
+    assert frac_bad < 0.005
+    assert frac_bad < frac_good
