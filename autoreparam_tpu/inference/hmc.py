@@ -89,7 +89,8 @@ def welford_variance(state: WelfordState):
 
 
 def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
-               target_accept, adapt_mass=True, share=False):
+               target_accept, adapt_mass=True, share=False,
+               pooled_stat="geom"):
     """One warmup adaptation update, shared by HMC/NUTS/iHMC warmups.
 
     Inputs are the batched adaptation states (DA over (C,), Welford over
@@ -112,13 +113,25 @@ def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
     share_step = share is True or share == "all"
     share_mass = share_step or share == "mass"
     if share_step:
-        # arithmetic-mean acceptance across chains (the ChEES-style
-        # cross-chain DA statistic), broadcast back to the (C,) DA
-        # state.  NOT the harmonic mean: that is dominated by the
-        # smallest values, so a few stuck chains (accept ~ 0 in a
-        # multi-basin posterior, e.g. german_credit) collapse the
-        # shared step size for the whole ensemble.
-        pooled = jnp.mean(accept_prob)
+        # Pooled acceptance statistic across chains, broadcast back to
+        # the (C,) DA state.  The choice matters (measured, 128 chains):
+        # the arithmetic mean ignores slow subpopulations — chains out
+        # in heavy tails (election88 NCP) accept rarely under the
+        # mean-optimal step and never converge (ess/grad 2.4, R-hat
+        # 1.24) — while the raw harmonic mean is dominated by ~zero-
+        # acceptance stuck chains (multi-basin german_credit), which
+        # collapse the shared step for everyone.  The floored GEOMETRIC
+        # mean sits between: sensitive enough to slow chains to protect
+        # election88, floored so a handful of true zeros cannot drag
+        # the pool (german additionally defaults to "mass", which has
+        # per-chain steps).  "arith"/"harm" remain selectable.
+        a = jnp.maximum(accept_prob, 1e-3)
+        if pooled_stat == "arith":
+            pooled = jnp.mean(accept_prob)
+        elif pooled_stat == "harm":
+            pooled = 1.0 / jnp.mean(1.0 / a)
+        else:
+            pooled = jnp.exp(jnp.mean(jnp.log(a)))
         da = da_update(da, jnp.full_like(accept_prob, pooled),
                        target_accept)
     else:
@@ -360,6 +373,21 @@ class HMCConfig(NamedTuple):
     #: stuck chains drag the acceptance pool).  False/"none": per-chain
     #: (Stan-style).
     share_adaptation: object = False
+    #: multiplicative step-size jitter (uniform in [1-j, 1+j]) applied
+    #: per chain per transition when the step size is POOLED.  A single
+    #: shared step with fixed L makes every chain share the same
+    #: near-periodic trajectory, which can resonate with a near-Gaussian
+    #: direction and collapse that dimension's ESS (measured: radon-MN
+    #: NCP pooled 69.8 vs per-chain 978 ess/grad, worst dim b_floor —
+    #: Neal 2011 §5.4's classic pathology and fix).  Per-chain step
+    #: sizes carry natural spread, so jitter is unnecessary there.
+    step_jitter: float = 0.2
+    #: also jitter during warmup (noisier DA feedback); sampling-phase
+    #: jitter alone already decoheres the frozen-step resonance
+    step_jitter_warmup: bool = False
+    #: cross-chain acceptance pool for the shared step ("geom"
+    #: (floored), "arith", "harm") — see adapt_step
+    pooled_accept_stat: str = "geom"
 
 
 def run_hmc(potential_fn: Callable,
@@ -408,17 +436,32 @@ def run_hmc(potential_fn: Callable,
     is_slow = jnp.asarray(is_slow)
     is_end = jnp.asarray(is_end)
 
+    share_step = (config.share_adaptation is True
+                  or config.share_adaptation == "all")
+    jitter = config.step_jitter if share_step else 0.0
+
+    def _jittered(step_size, key):
+        if jitter <= 0:
+            return step_size
+        u = jax.random.uniform(key, (C,), minval=1.0 - jitter,
+                               maxval=1.0 + jitter)
+        return step_size * u
+
     def warmup_step(carry, xs):
         state, da, wf, inv_mass = carry
         key, slow, end = xs
+        key, kj = jax.random.split(key)
         keys = jax.random.split(key, C)
         step_size = jnp.exp(da.log_eps)
+        if config.step_jitter_warmup:
+            step_size = _jittered(step_size, kj)
         state, info = v_kernel(state, keys, step_size, inv_mass)
         da, wf, inv_mass = adapt_step(
             da, wf, inv_mass, state.z, info.accept_prob, slow, end,
             target_accept=config.target_accept,
             adapt_mass=config.adapt_mass,
-            share=config.share_adaptation)
+            share=config.share_adaptation,
+            pooled_stat=config.pooled_accept_stat)
         return (state, da, wf, inv_mass), info.accept_prob
 
     n_w = config.num_warmup
@@ -433,8 +476,6 @@ def run_hmc(potential_fn: Callable,
         warm_accept = jnp.zeros((0, C), dtype)
         step_size_final = jnp.full((C,), config.init_step_size, dtype)
 
-    share_step = (config.share_adaptation is True
-                  or config.share_adaptation == "all")
     stuck = jnp.zeros((C,), bool)
     if share_step and n_w > 0:
         state0, stuck = rescue_stuck_chains(
@@ -446,8 +487,11 @@ def run_hmc(potential_fn: Callable,
     def sample_step(carry, key):
         state = carry
         def inner(state, key):
+            key, kj = jax.random.split(key)
             keys = jax.random.split(key, C)
-            state, info = v_kernel(state, keys, step_size_final, inv_mass0)
+            state, info = v_kernel(state, keys,
+                                   _jittered(step_size_final, kj),
+                                   inv_mass0)
             return state, info
         if config.thin == 1:
             state, info = inner(state, key)

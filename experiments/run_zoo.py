@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--models", default=",".join(DEFAULT_MODELS))
     ap.add_argument("--methods", default=",".join(DEFAULT_METHODS))
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seeds (default: 0 quick, "
+                         "0,1,2 full); min-ESS/grad has 2-3x single-"
+                         "seed noise, so the full table reports the "
+                         "cross-seed median")
     ap.add_argument("--results_dir",
                     default=os.path.join(REPO, "results", "zoo"))
     args = ap.parse_args()
@@ -74,7 +79,9 @@ def main():
                 num_samples=300 if q else 1000,
                 num_leapfrog_steps=8 if q else 16,
                 num_optimization_steps=800 if q else 3000,
-                learning_rate=0.05, seed=0)
+                learning_rate=0.05)
+    seeds = [int(s) for s in
+             (args.seeds or ("0" if q else "0,1,2")).split(",")]
 
     for model_name in args.models.split(","):
         dataset = "MN" if model_name == "radon" else None
@@ -83,20 +90,22 @@ def main():
         if not q:
             msize.update(FULL_OVERRIDES.get(model_name, {}))
         for method in args.methods.split(","):
-            tag = f"{spec.name} × {method}"
-            t0 = time.time()
-            try:
-                res = run_experiment(spec, method=method,
-                                     inference="hmc", **msize)
-                res.summary["total_time_s"] = time.time() - t0
-                save_result(args.results_dir, res.summary)
-                print(f"[zoo] {tag}: ess/grad(min)="
-                      f"{res.summary['ess_per_grad_min']:.3f} "
-                      f"rhat={res.summary['rhat_max']:.2f} "
-                      f"({time.time()-t0:.0f}s)", flush=True)
-            except Exception:
-                print(f"[zoo] {tag}: ERROR", flush=True)
-                traceback.print_exc()
+            for seed in seeds:
+                tag = f"{spec.name} × {method} s{seed}"
+                t0 = time.time()
+                try:
+                    res = run_experiment(spec, method=method,
+                                         inference="hmc", seed=seed,
+                                         **msize)
+                    res.summary["total_time_s"] = time.time() - t0
+                    save_result(args.results_dir, res.summary)
+                    print(f"[zoo] {tag}: ess/grad(min)="
+                          f"{res.summary['ess_per_grad_min']:.3f} "
+                          f"rhat={res.summary['rhat_max']:.2f} "
+                          f"({time.time()-t0:.0f}s)", flush=True)
+                except Exception:
+                    print(f"[zoo] {tag}: ERROR", flush=True)
+                    traceback.print_exc()
 
 
 if __name__ == "__main__":
