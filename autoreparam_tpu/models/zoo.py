@@ -236,14 +236,18 @@ def german_credit_lognormalcentered_model(x, y):
 
 def german_credit_gammascale_model(x, y):
     """Variant with Gamma-distributed precisions (the reference's
-    `german_credit_gammascale` [M])."""
-    n_features = x.shape[1]
+    `german_credit_gammascale` [M]): the precisions scale beta's PRIOR
+    (beta_i ~ N(0, 1/sqrt(lam_i*tau))), the centered form whose
+    beta↔precision funnel is exactly what NCP/VIP reparameterise.
+    (An algebraically identical variant that moves the scaling into
+    the likelihood — beta ~ N(0,1), logits = x@(beta/sqrt(lam*tau)) —
+    has the same joint density but makes VIP a no-op on beta, which
+    defeats the model's purpose in the zoo.)"""
     tau = sample("overall_prec", d.Gamma(0.5, 0.5))
     lam = sample("local_prec", d.Gamma(0.5, 0.5),
-                 sample_shape=(n_features,))
-    beta = sample("beta", d.Normal(0.0, 1.0), sample_shape=(n_features,))
-    logits = x @ (beta / jnp.sqrt(lam * tau))
-    sample("y", d.Bernoulli(logits), obs=y)
+                 sample_shape=(x.shape[1],))
+    beta = sample("beta", d.Normal(0.0, 1.0 / jnp.sqrt(lam * tau)))
+    sample("y", d.Bernoulli(x @ beta), obs=y)
 
 
 @register("german_credit_lognormalcentered")
