@@ -40,8 +40,17 @@ FULL_OVERRIDES = {
                                      num_optimization_steps=5000),
     "radon": dict(num_optimization_steps=6000, learning_rate=0.02),
     # full G&H ch.14 model (89 dims, interacting hierarchies): needs a
-    # bigger budget + the converged-lambda VI recipe
-    "election88": dict(num_warmup=10000, num_samples=5000,
+    # bigger budget + the converged-lambda VI recipe.  L=32: the
+    # reference tuned leapfrog steps per model via its main.py sweep
+    # (SURVEY.md §3.1); election88's 89-dim posterior needs the longer
+    # trajectory (measured L16 -> L32 at equal gradient budget: cvip
+    # 226 -> 335 ess/grad, R-hat 1.002; L8 is worse for every method).
+    # Step counts halved vs the L16 budget so the total gradient work
+    # is unchanged — also keeps the one-XLA-execution program under
+    # the axon tunnel's execution-length fault threshold (observed:
+    # iHMC at 10000+5000 x L32 faults the device; 5000+2500 is clean).
+    "election88": dict(num_warmup=5000, num_samples=2500,
+                       num_leapfrog_steps=32,
                        num_optimization_steps=6000, learning_rate=0.02),
 }
 
