@@ -269,6 +269,33 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
     return one_step
 
 
+def _chunked_scan(f, carry, xs, chunk):
+    """`lax.scan` split into <=chunk-step pieces (bitwise-identical
+    trajectory — the carry crosses chunk boundaries unchanged).
+
+    Big NUTS programs (8192 chains x 2^depth leapfrogs x hundreds of
+    steps on a dense likelihood) exceed the axon tunnel's single-XLA-
+    execution fault threshold when run as one scan; chunked eager
+    re-invocation reuses the compiled chunk program (at most two
+    variants: the chunk and the remainder), so the only cost is one
+    dispatch per chunk."""
+    if chunk is None:
+        return jax.lax.scan(f, carry, xs)
+    n = jax.tree.leaves(xs)[0].shape[0]
+    outs = []
+    i = 0
+    while i < n:
+        j = min(i + chunk, n)
+        carry, out = jax.lax.scan(f, carry,
+                                  jax.tree.map(lambda a: a[i:j], xs))
+        outs.append(out)
+        i = j
+    if len(outs) == 1:
+        return carry, outs[0]
+    return carry, jax.tree.map(
+        lambda *parts: jnp.concatenate(parts, axis=0), *outs)
+
+
 def run_nuts(potential_fn: Callable,
              init_positions,      # (C, D)
              key,
@@ -281,13 +308,16 @@ def run_nuts(potential_fn: Callable,
              adapt_mass: bool = True,
              share_adaptation: bool = False,
              inv_mass_diag=None,
-             collect_fn: Optional[Callable] = None):
-    """Warmup + sampling in one jitted program (same driver structure as
-    run_hmc; NUTS-standard target acceptance 0.8).
+             collect_fn: Optional[Callable] = None,
+             scan_chunk: Optional[int] = 128):
+    """Warmup + sampling (same driver structure as run_hmc;
+    NUTS-standard target acceptance 0.8), scans chunked to bound the
+    single-execution program length (see _chunked_scan).
 
     `share_adaptation=True` pools warmup across the chain batch (one
-    step size from the cross-chain mean acceptance, ensemble mass) —
-    the same scheme as HMCConfig.share_adaptation, via hmc.adapt_step.
+    step size from the cross-chain geometric-mean acceptance, ensemble
+    mass) — the same scheme as HMCConfig.share_adaptation, via
+    hmc.adapt_step.
     """
     C, D = init_positions.shape
     dtype = init_positions.dtype
@@ -321,9 +351,10 @@ def run_nuts(potential_fn: Callable,
     z0 = init_positions
     stuck = jnp.zeros((C,), bool)
     if num_warmup > 0:
-        (z0, da0, _, inv_mass0), warm_accept = jax.lax.scan(
+        (z0, da0, _, inv_mass0), warm_accept = _chunked_scan(
             warm_step, (z0, da0, wf0, inv_mass0),
-            (jax.random.split(kw, num_warmup), is_slow, is_end))
+            (jax.random.split(kw, num_warmup), is_slow, is_end),
+            scan_chunk)
         step_final = jnp.exp(da0.log_eps_bar)
         if share_adaptation is True or share_adaptation == "all":
             # pooled step sizes have no per-chain escape hatch; teleport
@@ -342,8 +373,8 @@ def run_nuts(potential_fn: Callable,
         return z, (jax.vmap(collect_fn)(z), info.accept_prob,
                    info.is_divergent, info.depth, info.num_grads)
 
-    z_final, (samples, acc, div, depth, grads) = jax.lax.scan(
-        sample_step, z0, jax.random.split(ks, num_samples))
+    z_final, (samples, acc, div, depth, grads) = _chunked_scan(
+        sample_step, z0, jax.random.split(ks, num_samples), scan_chunk)
 
     stats = {
         "step_size": step_final,

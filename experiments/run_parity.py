@@ -205,10 +205,14 @@ def main():
     # ---- 5: election88 8192-chain NUTS -------------------------------
     if 5 not in skip:
         spec = get_model("election88")
+        # 800-step warmup: the full G&H ch.14 covariate model (89 dims)
+        # needs more adaptation than round 1's minimal variant did; the
+        # program length is safe at any budget now that run_nuts chunks
+        # its scans (see nuts._chunked_scan)
         res = run_and_save("5-election88-nuts", spec, method="ncp",
                            inference="nuts",
                            num_chains=64 if q else 8192,
-                           num_warmup=100 if q else 300,
+                           num_warmup=100 if q else 800,
                            num_samples=100 if q else 300,
                            max_tree_depth=6, seed=0)
         ok = (res.summary["rhat_max"] < (1.3 if q else 1.05)
