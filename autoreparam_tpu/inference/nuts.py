@@ -29,6 +29,7 @@ averaging + windowed Welford mass machinery from hmc.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -282,18 +283,31 @@ def _chunked_scan(f, carry, xs, chunk):
     if chunk is None:
         return jax.lax.scan(f, carry, xs)
     n = jax.tree.leaves(xs)[0].shape[0]
-    outs = []
+    if n <= chunk:
+        return jax.lax.scan(f, carry, xs)
+
+    # Assemble chunk outputs into preallocated buffers via DONATED
+    # in-place slice updates — concatenating parts at the end doubles
+    # peak memory (all chunks + the result live at once), which OOMs
+    # an 8192-chain × 1000-sample × ~100-dim collect (~3.2 GB) that
+    # fits fine as one buffer.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write(buf, part, i):
+        return jax.lax.dynamic_update_slice_in_dim(buf, part, i, 0)
+
+    bufs = None
     i = 0
     while i < n:
         j = min(i + chunk, n)
         carry, out = jax.lax.scan(f, carry,
                                   jax.tree.map(lambda a: a[i:j], xs))
-        outs.append(out)
+        if bufs is None:
+            bufs = jax.tree.map(
+                lambda o: jnp.zeros((n,) + o.shape[1:], o.dtype), out)
+        idx = jnp.int32(i)
+        bufs = jax.tree.map(lambda b, o: _write(b, o, idx), bufs, out)
         i = j
-    if len(outs) == 1:
-        return carry, outs[0]
-    return carry, jax.tree.map(
-        lambda *parts: jnp.concatenate(parts, axis=0), *outs)
+    return carry, bufs
 
 
 def run_nuts(potential_fn: Callable,

@@ -51,10 +51,32 @@ def main():
     q = args.quick
     checks = []
 
+    state_path = os.path.join(args.results_dir, "checks.json")
+
     def record(n, name, summary, passed, note):
         checks.append((n, name, passed, note))
         print(f"[parity {n}] {name}: {'PASS' if passed else 'FAIL'} — "
               f"{note}", flush=True)
+        # persist incrementally: a crash in a later config must not
+        # lose earlier results (config 5 once faulted the device and
+        # dropped four fresh PASSes)
+        _flush_checks()
+
+    def _flush_checks():
+        merged = {}
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                merged = {int(k): v for k, v in json.load(f).items()}
+        for n, name, passed, note in checks:
+            merged[n] = {"name": name, "passed": bool(passed),
+                         "note": note,
+                         "mode": "quick" if q else "full",
+                         "backend": jax.default_backend(),
+                         "date": time.strftime("%Y-%m-%d %H:%M")}
+        os.makedirs(args.results_dir, exist_ok=True)
+        with open(state_path, "w") as f:
+            json.dump(merged, f, indent=1)
+        return merged
 
     def run_and_save(tag, spec, **kw):
         t0 = time.time()
@@ -224,19 +246,7 @@ def main():
                f"wall={res.summary['wall_time_s']:.1f}s")
 
     # ---- PARITY.md (merged across invocations) ------------------------
-    state_path = os.path.join(args.results_dir, "checks.json")
-    merged = {}
-    if os.path.exists(state_path):
-        with open(state_path) as f:
-            merged = {int(k): v for k, v in json.load(f).items()}
-    for n, name, passed, note in checks:
-        merged[n] = {"name": name, "passed": bool(passed), "note": note,
-                     "mode": "quick" if q else "full",
-                     "backend": jax.default_backend(),
-                     "date": time.strftime("%Y-%m-%d %H:%M")}
-    os.makedirs(args.results_dir, exist_ok=True)
-    with open(state_path, "w") as f:
-        json.dump(merged, f, indent=1)
+    merged = _flush_checks()
     lines = ["# PARITY — BASELINE config results",
              "",
              "| # | config | status | mode | detail |",
