@@ -323,20 +323,41 @@ def run_nuts(potential_fn: Callable,
              share_adaptation: bool = False,
              inv_mass_diag=None,
              collect_fn: Optional[Callable] = None,
-             scan_chunk: Optional[int] = 128):
+             scan_chunk: Optional[int] = 128,
+             step_jitter: float = 0.2,
+             step_jitter_warmup: bool = False,
+             pooled_accept_stat: str = "geom"):
     """Warmup + sampling (same driver structure as run_hmc;
     NUTS-standard target acceptance 0.8), scans chunked to bound the
     single-execution program length (see _chunked_scan).
 
     `share_adaptation=True` pools warmup across the chain batch (one
-    step size from the cross-chain geometric-mean acceptance, ensemble
-    mass) — the same scheme as HMCConfig.share_adaptation, via
-    hmc.adapt_step.
+    step size from the cross-chain pooled acceptance, ensemble mass) —
+    the same scheme as HMCConfig.share_adaptation, via hmc.adapt_step.
+    The pooled-step mitigations mirror HMCConfig (hmc.py): when the
+    step size is POOLED, every chain shares one ε, so `step_jitter`
+    applies per-chain multiplicative jitter (uniform in [1−j, 1+j]) in
+    the sampling phase — NUTS's random tree depth decoheres trajectory
+    *lengths* but all chains still leapfrog at the identical frozen ε,
+    and the shared-scale resonance HMC measured (PERF.md "pooled
+    (arith)" column) has the same mechanism here.  `pooled_accept_stat`
+    selects the cross-chain acceptance pool ("geom" floored / "arith" /
+    "harm"; see hmc.adapt_step).
     """
     C, D = init_positions.shape
     dtype = init_positions.dtype
     kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth),
                     in_axes=(0, 0, 0, 0))
+
+    share_step = share_adaptation is True or share_adaptation == "all"
+    jitter = step_jitter if share_step else 0.0
+
+    def _jittered(step_size, key):
+        if jitter <= 0:
+            return step_size
+        u = jax.random.uniform(key, (C,), minval=1.0 - jitter,
+                               maxval=1.0 + jitter)
+        return step_size * u
 
     if inv_mass_diag is None:
         inv_mass0 = jnp.ones((C, D), dtype)
@@ -353,12 +374,16 @@ def run_nuts(potential_fn: Callable,
     def warm_step(carry, xs):
         z, da, wf, inv_mass = carry
         key, slow, end = xs
+        key, kj = jax.random.split(key)
         keys = jax.random.split(key, C)
-        z, info = kern(z, keys, jnp.exp(da.log_eps), inv_mass)
+        step_size = jnp.exp(da.log_eps)
+        if step_jitter_warmup:
+            step_size = _jittered(step_size, kj)
+        z, info = kern(z, keys, step_size, inv_mass)
         da, wf, inv_mass = H.adapt_step(
             da, wf, inv_mass, z, info.accept_prob, slow, end,
             target_accept=target_accept, adapt_mass=adapt_mass,
-            share=share_adaptation)
+            share=share_adaptation, pooled_stat=pooled_accept_stat)
         return (z, da, wf, inv_mass), info.accept_prob
 
     key, kw, ks = jax.random.split(key, 3)
@@ -382,8 +407,9 @@ def run_nuts(potential_fn: Callable,
         collect_fn = lambda z: z  # noqa: E731
 
     def sample_step(z, key):
+        key, kj = jax.random.split(key)
         keys = jax.random.split(key, C)
-        z, info = kern(z, keys, step_final, inv_mass0)
+        z, info = kern(z, keys, _jittered(step_final, kj), inv_mass0)
         return z, (jax.vmap(collect_fn)(z), info.accept_prob,
                    info.is_divergent, info.depth, info.num_grads)
 
