@@ -37,27 +37,36 @@ def make_figures(results, out_dir):
     written = []
 
     mcmc = [r for r in results if "ess_per_grad_min" in r]
-    # dedupe: newest run wins per (model, method, inference) — results
-    # dirs may hold several configs of the same cell (hashed filenames)
+    # dedupe: newest run wins per (model, method, inference, seed) —
+    # results dirs may hold several configs of the same cell (hashed
+    # filenames)
     newest = {}
     for r in mcmc:
-        k = (r["model"], r["method"], r.get("inference", "hmc"))
+        k = (r["model"], r["method"], r.get("inference", "hmc"),
+             r.get("seed", 0))
         if k not in newest or (r.get("timestamp", 0)
                                > newest[k].get("timestamp", 0)):
             newest[k] = r
     mcmc = list(newest.values())
     if mcmc:
-        by_model = defaultdict(dict)
+        # the bar chart reports the cross-seed MEDIAN per cell — the
+        # same aggregation as make_zoo_table.py, so the figure and
+        # ZOO_FULL.md can't disagree (single-seed min-ESS/grad has
+        # 2-3x noise)
+        by_cell = defaultdict(list)
         for r in mcmc:
-            by_model[r["model"]][r["method"]] = r
+            by_cell[(r["model"], r["method"])].append(
+                r["ess_per_grad_min"])
+        by_model = defaultdict(dict)
+        for (mod, meth), vals in by_cell.items():
+            by_model[mod][meth] = float(np.median(vals))
         models = sorted(by_model)
         methods = ["cp", "ncp", "cvip", "dvip", "interleaved"]
         width = 0.15
         fig, ax = plt.subplots(figsize=(1.8 * len(models) + 2, 4))
         x = np.arange(len(models))
         for j, m in enumerate(methods):
-            vals = [by_model[mod][m]["ess_per_grad_min"]
-                    if m in by_model[mod] else 0.0 for mod in models]
+            vals = [by_model[mod].get(m, 0.0) for mod in models]
             ax.bar(x + (j - 2) * width, vals, width, label=m)
         ax.set_xticks(x)
         ax.set_xticklabels(models, rotation=20, ha="right")
@@ -69,6 +78,15 @@ def make_figures(results, out_dir):
         fig.savefig(p, dpi=150)
         plt.close(fig)
         written.append(p)
+
+    # λ heatmaps / LaTeX table: one row per (model, method) — newest run
+    newest_cell = {}
+    for r in mcmc:
+        k = (r["model"], r["method"])
+        if k not in newest_cell or (r.get("timestamp", 0)
+                                    > newest_cell[k].get("timestamp", 0)):
+            newest_cell[k] = r
+    mcmc = list(newest_cell.values())
 
     for r in mcmc:
         lam = r.get("lambda")

@@ -35,7 +35,7 @@ import numpy as np
 
 from . import hmc as H
 
-__all__ = ["CheesConfig", "run_chees"]
+__all__ = ["CheesConfig", "run_chees", "sample_chees"]
 
 
 def _halton(n: int, base: int = 2) -> np.ndarray:
@@ -70,29 +70,11 @@ class _AdamState(NamedTuple):
     t: jnp.ndarray
 
 
-def run_chees(potential_fn: Callable,
-              init_positions,  # (C, D)
-              key,
-              config: CheesConfig = CheesConfig(),
-              inv_mass_diag=None,
-              collect_fn: Optional[Callable] = None):
-    """Warmup (adapts ε, T, mass) + sampling, one jitted program.
-
-    Returns (samples, stats); stats include the adapted trajectory
-    length and realized leapfrog counts (for ESS/grad accounting).
-    """
-    C, D = init_positions.shape
-    dtype = init_positions.dtype
-    cfg = config
+def _make_transition(potential_fn: Callable, cfg: CheesConfig,
+                     C: int, D: int, dtype):
+    """Build the batched jittered-HMC transition shared by warmup,
+    sampling, and the checkpoint-resume path (utils/checkpoint.py)."""
     v_pg = jax.vmap(jax.value_and_grad(potential_fn))
-
-    halton = jnp.asarray(
-        _halton(cfg.num_warmup + cfg.num_samples), dtype)
-
-    if inv_mass_diag is None:
-        inv_mass0 = jnp.ones((D,), dtype)
-    else:
-        inv_mass0 = jnp.asarray(inv_mass_diag, dtype)
 
     def batched_leapfrog(z, r, grad, eps, inv_mass, n_steps):
         """n_steps (traced scalar) leapfrog steps for the whole batch."""
@@ -147,6 +129,35 @@ def run_chees(potential_fn: Callable,
         divergent = -delta > cfg.divergence_threshold
         return (z, pot, grad, accept_prob, chees_grad, n_steps,
                 divergent)
+
+    return transition
+
+
+def run_chees(potential_fn: Callable,
+              init_positions,  # (C, D)
+              key,
+              config: CheesConfig = CheesConfig(),
+              inv_mass_diag=None,
+              collect_fn: Optional[Callable] = None):
+    """Warmup (adapts ε, T, mass) + sampling, one jitted program.
+
+    Returns (samples, stats); stats include the adapted trajectory
+    length and realized leapfrog counts (for ESS/grad accounting).
+    """
+    C, D = init_positions.shape
+    dtype = init_positions.dtype
+    cfg = config
+    v_pg = jax.vmap(jax.value_and_grad(potential_fn))
+
+    halton = jnp.asarray(
+        _halton(cfg.num_warmup + cfg.num_samples), dtype)
+
+    if inv_mass_diag is None:
+        inv_mass0 = jnp.ones((D,), dtype)
+    else:
+        inv_mass0 = jnp.asarray(inv_mass_diag, dtype)
+
+    transition = _make_transition(potential_fn, cfg, C, D, dtype)
 
     def adam_update(a: _AdamState, g, lr):
         t = a.t + 1.0
@@ -216,22 +227,11 @@ def run_chees(potential_fn: Callable,
     eps_final = jnp.exp(da.log_eps_bar)
     T_final = jnp.exp(log_T)
 
-    if collect_fn is None:
-        collect_fn = lambda zz: zz  # noqa: E731
-
-    def sample_step(carry, xs):
-        z, pot, grad = carry
-        key, u = xs
-        traj = u * T_final
-        (z, pot, grad, accept_prob, _, n_steps, div) = transition(
-            z, pot, grad, key, eps_final, inv_mass, traj)
-        return (z, pot, grad), (jax.vmap(collect_fn)(z), accept_prob,
-                                n_steps, div)
-
-    (z, pot, grad), (samples, acc, n_steps, div) = jax.lax.scan(
-        sample_step, (z, pot, grad),
-        (jax.random.split(k_samp, cfg.num_samples),
-         halton[cfg.num_warmup:]))
+    samples, (z, pot, grad), (acc, n_steps, div) = sample_chees(
+        potential_fn, z, pot, grad, k_samp, cfg.num_samples,
+        eps_final, T_final, inv_mass,
+        halton_u=halton[cfg.num_warmup:], config=cfg,
+        collect_fn=collect_fn)
 
     stats = {
         "step_size": eps_final,
@@ -245,5 +245,46 @@ def run_chees(potential_fn: Callable,
         "rescued_chains": stuck,
         "warmup_accept": warm_acc,                # (W, C)
         "warmup_T_trace": T_trace,
+        "final_position": z,
+        "final_pot": pot,
+        "final_grad": grad,
     }
     return samples, stats
+
+
+def sample_chees(potential_fn: Callable, z, pot, grad, key,
+                 num_samples: int, step_size, traj_length, inv_mass,
+                 *, halton_u=None, config: CheesConfig = CheesConfig(),
+                 collect_fn: Optional[Callable] = None):
+    """Post-adaptation ChEES sampling from an explicit state (resume
+    point, mirroring hmc.sample_hmc).  `step_size`/`traj_length`
+    (scalars) and `inv_mass` (D,) are traced args so a resume with
+    different adapted values reuses the compiled program; `halton_u`
+    supplies the trajectory-jitter sequence — a resume passes the slice
+    of the run's Halton sequence starting at its global sample offset
+    so the concatenated trajectory is identical to an uninterrupted run.
+
+    Returns (samples, (z, pot, grad), (accept, n_steps, divergent)).
+    """
+    C, D = z.shape
+    dtype = z.dtype
+    cfg = config
+    transition = _make_transition(potential_fn, cfg, C, D, dtype)
+    if halton_u is None:
+        halton_u = jnp.asarray(_halton(num_samples), dtype)
+    if collect_fn is None:
+        collect_fn = lambda zz: zz  # noqa: E731
+
+    def sample_step(carry, xs):
+        z, pot, grad = carry
+        k, u = xs
+        traj = u * traj_length
+        (z, pot, grad, accept_prob, _, n_steps, div) = transition(
+            z, pot, grad, k, step_size, inv_mass, traj)
+        return (z, pot, grad), (jax.vmap(collect_fn)(z), accept_prob,
+                                n_steps, div)
+
+    (z, pot, grad), (samples, acc, n_steps, div) = jax.lax.scan(
+        sample_step, (z, pot, grad),
+        (jax.random.split(key, num_samples), halton_u))
+    return samples, (z, pot, grad), (acc, n_steps, div)

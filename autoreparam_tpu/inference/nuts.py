@@ -38,7 +38,7 @@ import numpy as np
 
 from . import hmc as H
 
-__all__ = ["nuts_kernel", "run_nuts"]
+__all__ = ["nuts_kernel", "run_nuts", "sample_nuts"]
 
 
 def _ckpt_tables(num_leaves: int):
@@ -310,6 +310,47 @@ def _chunked_scan(f, carry, xs, chunk):
     return carry, bufs
 
 
+def sample_nuts(potential_fn: Callable, z0, key, num_samples: int,
+                step_size, inv_mass, *,
+                max_tree_depth: int = 8,
+                step_jitter: float = 0.0,
+                collect_fn: Optional[Callable] = None,
+                scan_chunk: Optional[int] = 128):
+    """Post-adaptation NUTS sampling from an explicit state (resume
+    point, mirroring hmc.sample_hmc).  `step_size` (C,) and `inv_mass`
+    (C, D) are traced args (repo convention: learned arrays must not be
+    jit closure constants), so a resume with different adapted values
+    reuses the compiled program.
+
+    Returns (samples, z_final, (accept, divergent, depth, grads)).
+    Chains continue a run checkpointed by utils/checkpoint.py exactly
+    where it stopped.
+    """
+    C, D = z0.shape
+    kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth),
+                    in_axes=(0, 0, 0, 0))
+    if collect_fn is None:
+        collect_fn = lambda z: z  # noqa: E731
+
+    def _jittered(ss, k):
+        if step_jitter <= 0:
+            return ss
+        u = jax.random.uniform(k, (C,), minval=1.0 - step_jitter,
+                               maxval=1.0 + step_jitter)
+        return ss * u
+
+    def sample_step(z, k):
+        k, kj = jax.random.split(k)
+        keys = jax.random.split(k, C)
+        z, info = kern(z, keys, _jittered(step_size, kj), inv_mass)
+        return z, (jax.vmap(collect_fn)(z), info.accept_prob,
+                   info.is_divergent, info.depth, info.num_grads)
+
+    z_final, (samples, acc, div, depth, grads) = _chunked_scan(
+        sample_step, z0, jax.random.split(key, num_samples), scan_chunk)
+    return samples, z_final, (acc, div, depth, grads)
+
+
 def run_nuts(potential_fn: Callable,
              init_positions,      # (C, D)
              key,
@@ -403,18 +444,10 @@ def run_nuts(potential_fn: Callable,
     else:
         step_final = jnp.full((C,), init_step_size, dtype)
 
-    if collect_fn is None:
-        collect_fn = lambda z: z  # noqa: E731
-
-    def sample_step(z, key):
-        key, kj = jax.random.split(key)
-        keys = jax.random.split(key, C)
-        z, info = kern(z, keys, _jittered(step_final, kj), inv_mass0)
-        return z, (jax.vmap(collect_fn)(z), info.accept_prob,
-                   info.is_divergent, info.depth, info.num_grads)
-
-    z_final, (samples, acc, div, depth, grads) = _chunked_scan(
-        sample_step, z0, jax.random.split(ks, num_samples), scan_chunk)
+    samples, z_final, (acc, div, depth, grads) = sample_nuts(
+        potential_fn, z0, ks, num_samples, step_final, inv_mass0,
+        max_tree_depth=max_tree_depth, step_jitter=jitter,
+        collect_fn=collect_fn, scan_chunk=scan_chunk)
 
     stats = {
         "step_size": step_final,

@@ -5,15 +5,19 @@ checkpoint the full sampler state (chain positions, potential/grad,
 adapted step sizes, diagonal mass, PRNG key, chunk counter) so a
 preempted TPU VM resumes mid-run without redoing warmup.
 
-Pattern: warmup once → sample in chunks of `chunk_size` → orbax-save
-state + append samples (.npy per chunk) after each chunk.  `resume()`
-restores the newest checkpoint and continues.
+Pattern (all engines): warmup once → sample in chunks of `chunk_size`
+→ orbax-save state + append samples (.npy per chunk) after each chunk.
+`run()` restores the newest checkpoint if one exists and continues.
+Engines: `ResumableHMC`, `ResumableNUTS`, `ResumableChEES` — NUTS and
+ChEES are the configurations that actually run long at 8192 chains
+(BASELINE config #5 / the bench pipeline), so preemption cover there
+matters most.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,28 +25,29 @@ import numpy as np
 
 from ..inference import hmc as H
 
-__all__ = ["ResumableHMC"]
+__all__ = ["ResumableHMC", "ResumableNUTS", "ResumableChEES"]
 
 
-class _RunState(NamedTuple):
-    z: jnp.ndarray
-    pot: jnp.ndarray
-    grad: jnp.ndarray
-    step_size: jnp.ndarray
-    inv_mass: jnp.ndarray
-    key: jnp.ndarray
-    chunks_done: jnp.ndarray  # scalar int32
+class _ResumableSampler:
+    """Shared chunked-run / orbax-persistence driver.
 
+    Subclasses define the engine via three hooks over a dict state
+    (str → jnp array; must contain every array needed to continue):
 
-class ResumableHMC:
-    """Chunked HMC with orbax checkpoints between chunks."""
+    - `_template(C, D)` — zero-filled state dict fixing shapes/dtypes
+      for orbax restore.
+    - `_warmup(init_positions, key)` — run adaptation, return the
+      state dict at the start of sampling.
+    - `_sample_chunk(state, key, start)` — draw `chunk_size` samples
+      from `state`; return (samples, new_state).  `start` is the
+      global sample offset of this chunk (static int — used e.g. for
+      ChEES's Halton continuation); learned arrays must be passed as
+      traced args inside, per the repo's compile-cache convention.
+    """
 
-    def __init__(self, potential_fn: Callable, config: H.HMCConfig,
-                 ckpt_dir: str, chunk_size: int = 200):
+    def __init__(self, ckpt_dir: str, chunk_size: int):
         import orbax.checkpoint as ocp
 
-        self.potential_fn = potential_fn
-        self.config = config
         self.chunk_size = chunk_size
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -51,22 +56,20 @@ class ResumableHMC:
             options=ocp.CheckpointManagerOptions(max_to_keep=2))
 
     # -- persistence ----------------------------------------------------
-    def _save(self, step: int, rs: _RunState):
+    def _save(self, step: int, state: dict):
         import orbax.checkpoint as ocp
 
-        self._mngr.save(step, args=ocp.args.StandardSave(rs._asdict()))
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
         self._mngr.wait_until_finished()
 
     def _latest(self) -> Optional[int]:
         return self._mngr.latest_step()
 
-    def _restore(self, template: _RunState) -> _RunState:
+    def _restore(self, template: dict) -> dict:
         import orbax.checkpoint as ocp
 
-        step = self._latest()
-        restored = self._mngr.restore(
-            step, args=ocp.args.StandardRestore(template._asdict()))
-        return _RunState(**restored)
+        return self._mngr.restore(
+            self._latest(), args=ocp.args.StandardRestore(template))
 
     def _chunk_path(self, i: int) -> str:
         return os.path.join(self.ckpt_dir, f"samples_{i:05d}.npy")
@@ -77,47 +80,184 @@ class ResumableHMC:
 
         Returns samples (num_samples, C, D) assembled from all chunks.
         """
-        cfg = self.config
         C, D = init_positions.shape
         n_chunks = -(-num_samples // self.chunk_size)
 
-        template = _RunState(
+        if self._latest() is not None:
+            state = self._restore(self._template(C, D))
+        else:
+            k_warm, key = jax.random.split(key)
+            state = self._warmup(init_positions, k_warm)
+            state["key"] = key
+            state["chunks_done"] = jnp.zeros((), jnp.int32)
+            self._save(0, state)
+
+        start = int(state["chunks_done"])
+        for i in range(start, n_chunks):
+            k_chunk, new_key = jax.random.split(state["key"])
+            samples, state = self._sample_chunk(
+                state, k_chunk, i * self.chunk_size)
+            np.save(self._chunk_path(i), np.asarray(samples))
+            state["key"] = new_key
+            state["chunks_done"] = jnp.asarray(i + 1, jnp.int32)
+            self._save(i + 1, state)
+
+        chunks = [np.load(self._chunk_path(i)) for i in range(n_chunks)]
+        return np.concatenate(chunks, axis=0)[:num_samples]
+
+
+class ResumableHMC(_ResumableSampler):
+    """Chunked fixed-L HMC with orbax checkpoints between chunks."""
+
+    def __init__(self, potential_fn: Callable, config: H.HMCConfig,
+                 ckpt_dir: str, chunk_size: int = 200):
+        super().__init__(ckpt_dir, chunk_size)
+        self.potential_fn = potential_fn
+        self.config = config
+        # step_size/inv_mass are traced args (repo convention: learned
+        # arrays must not be jit closure constants — a resume with
+        # different adapted values would change the HLO and miss the
+        # persistent compile cache on this slow host)
+        self._sample_jit = jax.jit(
+            lambda st, k, ss, im: H.sample_hmc(
+                self.potential_fn, st, k, self.chunk_size,
+                self.config.num_leapfrog_steps, ss, im))
+
+    def _template(self, C, D):
+        return dict(
             z=jnp.zeros((C, D)), pot=jnp.zeros((C,)),
             grad=jnp.zeros((C, D)), step_size=jnp.zeros((C,)),
             inv_mass=jnp.zeros((C, D)), key=jax.random.PRNGKey(0),
             chunks_done=jnp.zeros((), jnp.int32))
 
-        if self._latest() is not None:
-            rs = self._restore(template)
-        else:
-            k_warm, key = jax.random.split(key)
-            state, step_size, inv_mass = H.warmup_hmc(
-                self.potential_fn, init_positions, k_warm, cfg)
-            rs = _RunState(z=state.z, pot=state.pot, grad=state.grad,
-                           step_size=step_size, inv_mass=inv_mass,
-                           key=key, chunks_done=jnp.zeros((), jnp.int32))
-            self._save(0, rs)
+    def _warmup(self, init_positions, key):
+        state, step_size, inv_mass = H.warmup_hmc(
+            self.potential_fn, init_positions, key, self.config)
+        return dict(z=state.z, pot=state.pot, grad=state.grad,
+                    step_size=step_size, inv_mass=inv_mass)
 
-        # step_size/inv_mass are traced args (repo convention: learned
-        # arrays must not be jit closure constants — a resume with
-        # different adapted values would change the HLO and miss the
-        # persistent compile cache on this slow host)
-        sample_chunk = jax.jit(
-            lambda st, k, ss, im: H.sample_hmc(
-                self.potential_fn, st, k, self.chunk_size,
-                cfg.num_leapfrog_steps, ss, im))
+    def _sample_chunk(self, state, key, start):
+        hmc_state = H.HMCState(state["z"], state["pot"], state["grad"])
+        samples, new_state, _ = self._sample_jit(
+            hmc_state, key, state["step_size"], state["inv_mass"])
+        state = dict(state, z=new_state.z, pot=new_state.pot,
+                     grad=new_state.grad)
+        return samples, state
 
-        start = int(rs.chunks_done)
-        for i in range(start, n_chunks):
-            k_chunk, new_key = jax.random.split(rs.key)
-            state = H.HMCState(rs.z, rs.pot, rs.grad)
-            samples, state, _ = sample_chunk(state, k_chunk,
-                                             rs.step_size, rs.inv_mass)
-            np.save(self._chunk_path(i), np.asarray(samples))
-            rs = rs._replace(z=state.z, pot=state.pot, grad=state.grad,
-                             key=new_key,
-                             chunks_done=jnp.asarray(i + 1, jnp.int32))
-            self._save(i + 1, rs)
 
-        chunks = [np.load(self._chunk_path(i)) for i in range(n_chunks)]
-        return np.concatenate(chunks, axis=0)[:num_samples]
+class ResumableNUTS(_ResumableSampler):
+    """Chunked NUTS with orbax checkpoints between chunks (the engine
+    BASELINE config #5 runs at 8192 chains — the long-run case)."""
+
+    def __init__(self, potential_fn: Callable, ckpt_dir: str,
+                 chunk_size: int = 200, *,
+                 num_warmup: int = 1000, max_tree_depth: int = 8,
+                 target_accept: float = 0.8,
+                 share_adaptation: object = False,
+                 step_jitter: float = 0.2,
+                 init_step_size: float = 0.1,
+                 inv_mass_diag=None,
+                 scan_chunk: Optional[int] = 128):
+        super().__init__(ckpt_dir, chunk_size)
+        from ..inference import nuts as N
+
+        self.potential_fn = potential_fn
+        self.num_warmup = num_warmup
+        self.max_tree_depth = max_tree_depth
+        self.target_accept = target_accept
+        self.share_adaptation = share_adaptation
+        self.init_step_size = init_step_size
+        self.inv_mass_diag = inv_mass_diag
+        share_step = (share_adaptation is True
+                      or share_adaptation == "all")
+        self.step_jitter = step_jitter if share_step else 0.0
+        self.scan_chunk = scan_chunk
+        self._N = N
+
+    def _template(self, C, D):
+        return dict(
+            z=jnp.zeros((C, D)), step_size=jnp.zeros((C,)),
+            inv_mass=jnp.zeros((C, D)), key=jax.random.PRNGKey(0),
+            chunks_done=jnp.zeros((), jnp.int32))
+
+    def _warmup(self, init_positions, key):
+        # warmup-only run (mirrors warmup_hmc's num_samples=1 trick):
+        # one throwaway sample so run_nuts's driver stays untouched
+        _, stats = self._N.run_nuts(
+            self.potential_fn, init_positions, key,
+            num_warmup=self.num_warmup, num_samples=1,
+            max_tree_depth=self.max_tree_depth,
+            target_accept=self.target_accept,
+            share_adaptation=self.share_adaptation,
+            init_step_size=self.init_step_size,
+            inv_mass_diag=self.inv_mass_diag,
+            step_jitter=self.step_jitter,
+            scan_chunk=self.scan_chunk)
+        return dict(z=stats["final_position"],
+                    step_size=stats["step_size"],
+                    inv_mass=stats["inv_mass_diag"])
+
+    def _sample_chunk(self, state, key, start):
+        samples, z_final, _ = self._N.sample_nuts(
+            self.potential_fn, state["z"], key, self.chunk_size,
+            state["step_size"], state["inv_mass"],
+            max_tree_depth=self.max_tree_depth,
+            step_jitter=self.step_jitter,
+            scan_chunk=self.scan_chunk)
+        return samples, dict(state, z=z_final)
+
+
+class ResumableChEES(_ResumableSampler):
+    """Chunked ChEES-HMC with orbax checkpoints between chunks (the
+    bench.py flagship pipeline's engine).  The per-sample Halton
+    trajectory jitter is continued across chunks via the global sample
+    offset, so an interrupted+resumed run draws the same jitter
+    sequence as an uninterrupted one."""
+
+    def __init__(self, potential_fn: Callable, config, ckpt_dir: str,
+                 chunk_size: int = 200, inv_mass_diag=None):
+        super().__init__(ckpt_dir, chunk_size)
+        from ..inference import chees as CH
+
+        self.potential_fn = potential_fn
+        self.config = config
+        self.inv_mass_diag = inv_mass_diag
+        self._CH = CH
+        self._sample_jit = jax.jit(
+            lambda z, pot, grad, k, eps, T, im, hu: CH.sample_chees(
+                self.potential_fn, z, pot, grad, k, self.chunk_size,
+                eps, T, im, halton_u=hu, config=self.config))
+
+    def _template(self, C, D):
+        return dict(
+            z=jnp.zeros((C, D)), pot=jnp.zeros((C,)),
+            grad=jnp.zeros((C, D)), step_size=jnp.zeros(()),
+            traj_length=jnp.zeros(()), inv_mass=jnp.zeros((D,)),
+            key=jax.random.PRNGKey(0),
+            chunks_done=jnp.zeros((), jnp.int32))
+
+    def _warmup(self, init_positions, key):
+        cfg = self.config._replace(num_samples=0)
+        _, stats = self._CH.run_chees(
+            self.potential_fn, init_positions, key, cfg,
+            inv_mass_diag=self.inv_mass_diag)
+        return dict(z=stats["final_position"],
+                    pot=stats["final_pot"],
+                    grad=stats["final_grad"],
+                    step_size=stats["step_size"],
+                    traj_length=stats["trajectory_length"],
+                    inv_mass=stats["inv_mass_diag"])
+
+    def _sample_chunk(self, state, key, start):
+        # Halton continuation: chunk i uses points [W+start, W+start+n)
+        # of the run-global sequence, exactly what an uninterrupted
+        # run_chees would have used for these samples.
+        W = self.config.num_warmup
+        hu = jnp.asarray(self._CH._halton(
+            W + start + self.chunk_size)[W + start:],
+            state["z"].dtype)
+        samples, (z, pot, grad), _ = self._sample_jit(
+            state["z"], state["pot"], state["grad"], key,
+            state["step_size"], state["traj_length"],
+            state["inv_mass"], hu)
+        return samples, dict(state, z=z, pot=pot, grad=grad)

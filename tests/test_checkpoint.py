@@ -44,3 +44,59 @@ def test_resumable_hmc_completes_and_resumes(tmp_path):
     np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.25)
     # warmup was not redone on resume: state dir has >= 2 checkpoints
     assert os.path.isdir(os.path.join(d2, "state"))
+
+
+def test_resumable_nuts_completes_and_resumes(tmp_path):
+    """A preempted NUTS run resumes without redoing warmup and
+    reproduces the uninterrupted run (VERDICT r2 task 7: NUTS/ChEES
+    are the configs that actually run long at 8192 chains)."""
+    from autoreparam_tpu.utils.checkpoint import ResumableNUTS
+
+    C, D = 8, 2
+    key = jax.random.PRNGKey(1)
+    init = jax.random.normal(key, (C, D))
+    kw = dict(num_warmup=100, max_tree_depth=4, init_step_size=0.3,
+              share_adaptation=True)
+
+    d1 = str(tmp_path / "full")
+    s_full = ResumableNUTS(pot, d1, chunk_size=50, **kw).run(
+        init, key, num_samples=150)
+    assert s_full.shape == (150, C, D)
+
+    d2 = str(tmp_path / "resumed")
+    s_part = ResumableNUTS(pot, d2, chunk_size=50, **kw).run(
+        init, key, num_samples=50)
+    s_res = ResumableNUTS(pot, d2, chunk_size=50, **kw).run(
+        init, key, num_samples=150)
+    np.testing.assert_array_equal(s_res[:50], s_part)
+    # identical key chain + adapted state => identical trajectory
+    np.testing.assert_array_equal(s_res, s_full)
+    flat = s_res.reshape(-1, D)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.25)
+
+
+def test_resumable_chees_completes_and_resumes(tmp_path):
+    """ChEES resume continues the run-global Halton jitter sequence at
+    the correct offset, so interrupted == uninterrupted."""
+    from autoreparam_tpu.inference.chees import CheesConfig
+    from autoreparam_tpu.utils.checkpoint import ResumableChEES
+
+    C, D = 8, 2
+    key = jax.random.PRNGKey(2)
+    init = jax.random.normal(key, (C, D))
+    cfg = CheesConfig(num_warmup=100, max_leapfrog_steps=32)
+
+    d1 = str(tmp_path / "full")
+    s_full = ResumableChEES(pot, cfg, d1, chunk_size=50).run(
+        init, key, num_samples=150)
+    assert s_full.shape == (150, C, D)
+
+    d2 = str(tmp_path / "resumed")
+    s_part = ResumableChEES(pot, cfg, d2, chunk_size=50).run(
+        init, key, num_samples=50)
+    s_res = ResumableChEES(pot, cfg, d2, chunk_size=50).run(
+        init, key, num_samples=150)
+    np.testing.assert_array_equal(s_res[:50], s_part)
+    np.testing.assert_array_equal(s_res, s_full)
+    flat = s_res.reshape(-1, D)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.25)
