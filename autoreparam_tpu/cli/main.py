@@ -53,6 +53,17 @@ flags.DEFINE_float("vi_mass_min_is_ess", 0.002,
                    "the posterior for the q*-variance mass seed to be "
                    "trusted (cvip/dvip); below it warmup starts from "
                    "the identity mass")
+flags.DEFINE_integer("num_vi_restarts", 1,
+                     "independent VI restarts (vmapped; best final "
+                     "ELBO wins) — the joint (q, lambda) objective is "
+                     "multi-basin on some models")
+flags.DEFINE_enum("vip_lam_tie", "element", ["element", "site"],
+                  "lambda granularity: per-element (paper default) or "
+                  "one tied lambda per site")
+flags.DEFINE_bool("dvip_refit", True,
+                  "re-fit q on the thresholded model before the dVIP "
+                  "HMC phase (init/mass must describe the model "
+                  "actually sampled)")
 flags.DEFINE_list("leapfrog_sweep", None,
                   "sweep --num_leapfrog_steps over these values "
                   "(reference main.py's sweep loop), e.g. 2,4,8,16")
@@ -94,6 +105,9 @@ def _run_one(spec, num_leapfrog):
         target_accept=FLAGS.target_accept,
         seed=FLAGS.seed, shard=FLAGS.shard,
         vi_mass_min_is_ess=FLAGS.vi_mass_min_is_ess,
+        num_vi_restarts=FLAGS.num_vi_restarts,
+        vip_lam_tie=FLAGS.vip_lam_tie,
+        dvip_refit=FLAGS.dvip_refit,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])
 

@@ -57,13 +57,27 @@ def fit_vi(model: Callable,
            learning_rate: float = 0.02,
            lr_schedule: str = "cosine",
            key=None,
-           init_loc: Optional[jnp.ndarray] = None) -> VIResult:
+           init_loc: Optional[jnp.ndarray] = None,
+           num_restarts: int = 1,
+           lam_tie: str = "element") -> VIResult:
     """Fit mean-field q; if `vip_sites` is given, the model is rewritten
     into VIP form on those sites and λ is learned jointly (cVIP).
 
     `vip_sites=None` fits plain ADVI on the model as passed (use a
     CP/NCP-rewritten model for the reference's `--inference=VI`
     comparisons, SURVEY.md §4.4).
+
+    `num_restarts > 1` runs that many independent optimizations (vmapped
+    over restart keys — one compiled program, the TPU-native way to
+    restart) and keeps the one with the best final ELBO: the joint
+    (q, λ) objective is multi-basin on models like german_credit (λ has
+    CP-like and NCP-like basins per site), and a single Adam run can
+    settle in the worse one.
+
+    `lam_tie="site"` learns ONE λ per VIP site instead of elementwise
+    (the paper's per-variable λ is the `"element"` default): for
+    exchangeable vector sites (e.g. 25 iid local scales) tying removes
+    the per-element λ noise floor — every element shares the evidence.
     """
     model_kwargs = model_kwargs or {}
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -73,7 +87,12 @@ def fit_vi(model: Callable,
         missing = [s for s in vip_sites if s not in shapes]
         if missing:
             raise ValueError(f"sites not VIP-eligible: {missing}")
-        lam_shapes = {s: shapes[s] for s in vip_sites}
+        if lam_tie == "site":
+            lam_shapes = {s: () for s in vip_sites}
+        elif lam_tie == "element":
+            lam_shapes = {s: shapes[s] for s in vip_sites}
+        else:
+            raise ValueError(f"unknown lam_tie {lam_tie!r}")
         lam_template = {s: jnp.full(sh, 0.5) for s, sh in
                         lam_shapes.items()}
         wrapped = make_vip_model(model, lam_template)
@@ -122,7 +141,6 @@ def fit_vi(model: Callable,
     else:
         raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
     opt = optax.adam(lr)
-    opt_state0 = opt.init(params0)
 
     def step(carry, key):
         params, opt_state = carry
@@ -131,8 +149,45 @@ def fit_vi(model: Callable,
         params = optax.apply_updates(params, updates)
         return (params, opt_state), -loss
 
-    keys = jax.random.split(key, num_steps)
-    (params, _), elbos = jax.lax.scan(step, (params0, opt_state0), keys)
+    def one_fit(key, perturb):
+        # perturb=0 keeps the canonical neutral init (λ=0.5, loc=0);
+        # perturbed restarts scatter the λ logits across [σ(-3), σ(3)]
+        # and jitter loc — the (q, λ) objective's basins differ chiefly
+        # in which side of 0.5 each λ settles, so restarts must *start*
+        # in different basins to explore them (same MC keys from the
+        # same init would mostly re-find one basin).
+        k_init, k_run = jax.random.split(key)
+        kl, kc = jax.random.split(k_init)
+        p0 = dict(
+            params0,
+            loc=params0["loc"] + perturb * 0.3 * jax.random.normal(
+                kc, params0["loc"].shape),
+            lam_logit=jax.tree.map(
+                lambda v, k: v + perturb * 3.0 * jax.random.normal(
+                    k, v.shape),
+                params0["lam_logit"],
+                dict(zip(params0["lam_logit"],
+                         jax.random.split(kl,
+                                          max(len(lam_shapes), 1))[
+                             :len(lam_shapes)]))),
+        )
+        keys = jax.random.split(k_run, num_steps)
+        (params, _), elbos = jax.lax.scan(step, (p0, opt.init(p0)), keys)
+        return params, elbos
+
+    if num_restarts <= 1:
+        params, elbos = one_fit(key, 0.0)
+    else:
+        # vmapping the whole fit runs the restarts as one batched
+        # program — restarts are data parallelism here
+        params_k, elbos_k = jax.vmap(one_fit)(
+            jax.random.split(key, num_restarts),
+            jnp.arange(num_restarts, dtype=jnp.float32).clip(0.0, 1.0))
+        score = jnp.mean(elbos_k[:, -100:], axis=-1)
+        score = jnp.where(jnp.isfinite(score), score, -jnp.inf)
+        best = jnp.argmax(score)
+        params = jax.tree.map(lambda a: a[best], params_k)
+        elbos = elbos_k[best]
 
     lam = {s: jax.nn.sigmoid(v) for s, v in params["lam_logit"].items()}
     return VIResult(loc=params["loc"],

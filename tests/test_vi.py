@@ -92,3 +92,38 @@ def test_radon_lambda_tracks_identifiability():
     r = np.corrcoef(np.log1p(counts), lam_a)[0, 1]
     assert r > 0.5, r
     assert lam_a[counts < 5].mean() < lam_a[counts > 20].mean()
+
+
+def test_vi_restarts_pick_best_basin():
+    """num_restarts vmaps independent (q, lambda) fits and keeps the
+    best final ELBO; with perturbed lambda-logit inits this explores
+    CP/NCP basins a single run can miss (VERDICT r2 task 3)."""
+    from autoreparam_tpu.inference.vi import fit_vip_vi
+    from autoreparam_tpu.models import get_model
+
+    spec = get_model("eight_schools")
+    r1 = fit_vip_vi(spec.model, spec.args, num_steps=600,
+                    num_mc_samples=4, key=jax.random.PRNGKey(0))
+    r4 = fit_vip_vi(spec.model, spec.args, num_steps=600,
+                    num_mc_samples=4, key=jax.random.PRNGKey(0),
+                    num_restarts=4)
+    e1 = float(np.asarray(r1.elbo_trace)[-100:].mean())
+    e4 = float(np.asarray(r4.elbo_trace)[-100:].mean())
+    # the best of 4 restarts can't be (meaningfully) worse than one run
+    assert e4 >= e1 - 1.0, (e1, e4)
+    assert np.all(np.isfinite(np.asarray(r4.loc)))
+
+
+def test_vi_lambda_site_tying():
+    """lam_tie='site' learns one lambda per site (scalar), and the
+    tied fit still lands in the right regime (eight_schools: theta
+    should go non-centered, lambda < 0.5)."""
+    from autoreparam_tpu.inference.vi import fit_vip_vi
+    from autoreparam_tpu.models import get_model
+
+    spec = get_model("eight_schools")
+    res = fit_vip_vi(spec.model, spec.args, num_steps=1000,
+                     num_mc_samples=4, key=jax.random.PRNGKey(0),
+                     lam_tie="site")
+    assert all(np.asarray(v).ndim == 0 for v in res.lam.values())
+    assert float(res.lam["theta"]) < 0.5
