@@ -186,7 +186,8 @@ def run_experiment(spec: ModelSpec,
             vi_res = fit_vi(sampled_model, args, kwargs,
                             num_steps=num_optimization_steps,
                             num_mc_samples=num_mc_samples,
-                            learning_rate=learning_rate, key=k_vi)
+                            learning_rate=learning_rate, key=k_vi,
+                            num_restarts=num_vi_restarts)
         summary = {
             "elbo": float(np.asarray(vi_res.elbo_trace)[-100:].mean()),
             "method": method, "inference": "vi", "model": spec.name,

@@ -62,6 +62,7 @@ def main():
                 res = run_experiment(spec, method=method, inference="vi",
                                      num_optimization_steps=steps,
                                      num_mc_samples=8,
+                                     num_vi_restarts=1 if q else 8,
                                      learning_rate=0.02, seed=0)
                 elbo = res.summary["elbo"]
                 res.summary["total_time_s"] = time.time() - t0
@@ -78,7 +79,9 @@ def main():
         "# VI ELBO per parameterisation (SURVEY.md §4.4)",
         "",
         f"Mean-field ADVI, {steps} Adam steps (cosine-tail LR), 8 MC "
-        "samples, seed 0. cVIP optimizes λ jointly; its ELBO should "
+        "samples, seed 0, best of 8 vmapped restarts (full mode — the "
+        "joint (q, λ) objective is multi-basin; see "
+        "docs/DESIGN.md). cVIP optimizes λ jointly; its ELBO should "
         "match or beat the better of CP/NCP on every model (it "
         "interpolates between them on this exact objective).",
         "",
