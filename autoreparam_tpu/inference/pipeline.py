@@ -374,6 +374,9 @@ def run_experiment(spec: ModelSpec,
         "num_leapfrog_steps": num_leapfrog_steps,
         "seed": seed,
         "share_adaptation": str(share_adaptation),
+        "num_vi_restarts": num_vi_restarts,
+        "vip_lam_tie": vip_lam_tie,
+        "dvip_refit": bool(dvip_refit),
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),

@@ -37,7 +37,8 @@ def _to_jsonable(x):
 #: filename so two runs of the same (model, method, inference) with
 #: different sizes/seeds never silently overwrite each other
 _CONFIG_KEYS = ("num_chains", "num_warmup", "num_samples",
-                "num_leapfrog_steps", "num_optimization_steps", "seed")
+                "num_leapfrog_steps", "num_optimization_steps", "seed",
+                "num_vi_restarts", "vip_lam_tie", "dvip_refit")
 
 
 def result_filename(model: str, method: str, inference: str,

@@ -37,10 +37,19 @@ FULL_OVERRIDES = {
     # budget): the long trajectory transforms this geometry — measured
     # at seed 0: iHMC 9.3 ess/grad R-hat 1.02 (vs 3.9 at L16), CP 3.2
     # R-hat 1.06; shorter L=8 fails to converge for either.
+    # num_vi_restarts=8 + per-site lambda tying: the joint (q, lambda)
+    # ELBO is multi-basin here and a single elementwise fit lands ~7
+    # nats below NCP (VI_ELBO.md round 2); best-of-8 restarts with one
+    # tied lambda over the 25 iid local scales recovers the ELBO
+    # (-494.4 >= NCP -496.0) and transforms the sampler: cVIP 14.2
+    # ess/grad R-hat 1.05 at seed 0 vs 3.6 R-hat 1.10 untied
+    # (results/german_probe).
     "german_credit_lognormalcentered": dict(num_warmup=15000,
                                             num_samples=5000,
                                             num_leapfrog_steps=32,
-                                            num_optimization_steps=5000),
+                                            num_optimization_steps=5000,
+                                            num_vi_restarts=8,
+                                            vip_lam_tie="site"),
     "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
                                      num_optimization_steps=5000),
     "radon": dict(num_optimization_steps=6000, learning_rate=0.02),
