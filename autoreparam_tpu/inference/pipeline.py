@@ -377,6 +377,11 @@ def run_experiment(spec: ModelSpec,
         "num_vi_restarts": num_vi_restarts,
         "vip_lam_tie": vip_lam_tie,
         "dvip_refit": bool(dvip_refit),
+        "num_optimization_steps": num_optimization_steps,
+        "learning_rate": learning_rate,
+        "target_accept": target_accept,
+        "max_tree_depth": (max_tree_depth if inference == "nuts"
+                           else None),
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),
@@ -389,6 +394,7 @@ def run_experiment(spec: ModelSpec,
     if vi_is_ess is not None:
         summary["vi_is_ess_frac"] = vi_is_ess
         summary["vi_mass_used"] = bool(inv_mass is not None)
+        summary["vi_mass_min_is_ess"] = vi_mass_min_is_ess
     if vi_res is not None:
         # persist q* so the HMC phase is reproducible from artifacts
         # alone (reference: VI outputs reloaded by the HMC phase,

@@ -38,7 +38,9 @@ def _to_jsonable(x):
 #: different sizes/seeds never silently overwrite each other
 _CONFIG_KEYS = ("num_chains", "num_warmup", "num_samples",
                 "num_leapfrog_steps", "num_optimization_steps", "seed",
-                "num_vi_restarts", "vip_lam_tie", "dvip_refit")
+                "num_vi_restarts", "vip_lam_tie", "dvip_refit",
+                "learning_rate", "target_accept", "max_tree_depth",
+                "vi_mass_min_is_ess")
 
 
 def result_filename(model: str, method: str, inference: str,

@@ -44,12 +44,24 @@ FULL_OVERRIDES = {
     # (-494.4 >= NCP -496.0) and transforms the sampler: cVIP 14.2
     # ess/grad R-hat 1.05 at seed 0 vs 3.6 R-hat 1.10 untied
     # (results/german_probe).
+    # learning_rate=0.02: at the zoo-base lr=0.05 the (q, lambda) fit
+    # never settles (ELBO -502..-509 vs -494..-497).
+    # vi_mass_min_is_ess=0: with restarts+tying the (re)fit q* reaches
+    # NCP-level ELBO on every seed, and the q*^2 mass seed is the
+    # dominant epg lever here (mass-seeded seeds 13.7-14.4 vs 2.8-6.2
+    # identity-seeded) — but german_ln's IS-ESS scatters 0.0002-0.0024
+    # across seeds, straddling the default 0.002 gate.  The gate exists
+    # to catch gammascale-style *collapsed* q* (13x under-scaled);
+    # german_ln's q* is ELBO-verified per run, so the gate is waived
+    # for this model only.
     "german_credit_lognormalcentered": dict(num_warmup=15000,
                                             num_samples=5000,
                                             num_leapfrog_steps=32,
                                             num_optimization_steps=5000,
                                             num_vi_restarts=8,
-                                            vip_lam_tie="site"),
+                                            vip_lam_tie="site",
+                                            learning_rate=0.02,
+                                            vi_mass_min_is_ess=0.0),
     "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
                                      num_optimization_steps=5000),
     "radon": dict(num_optimization_steps=6000, learning_rate=0.02),
@@ -65,7 +77,8 @@ FULL_OVERRIDES = {
     # iHMC at 10000+5000 x L32 faults the device; 5000+2500 is clean).
     "election88": dict(num_warmup=5000, num_samples=2500,
                        num_leapfrog_steps=32,
-                       num_optimization_steps=6000, learning_rate=0.02),
+                       num_optimization_steps=6000, learning_rate=0.02,
+                       num_vi_restarts=8),
 }
 
 
