@@ -195,6 +195,9 @@ def run_experiment(spec: ModelSpec,
             "vi_scale": np.asarray(vi_res.scale),
             "latent_names": list(info.names),
             "num_optimization_steps": num_optimization_steps,
+            "learning_rate": learning_rate,
+            "num_vi_restarts": num_vi_restarts,
+            "vip_lam_tie": vip_lam_tie,
             "seed": seed,
         }
         if lam is not None:

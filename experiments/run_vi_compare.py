@@ -49,21 +49,31 @@ def main():
     from autoreparam_tpu.inference import run_experiment
     from autoreparam_tpu.models import get_model
     from autoreparam_tpu.utils.results import save_result
+    from run_zoo import FULL_OVERRIDES
 
     q = args.quick
     steps = 800 if q else 5000
+    # ELBO is evaluated at each model's zoo VI recipe (run_zoo
+    # FULL_OVERRIDES): the table's claim is about the best achievable
+    # cVIP fit, and the per-model optimizer knobs (restarts, lr, λ
+    # tying) ARE part of that fit — same provenance as ZOO_FULL.md.
+    VI_KEYS = ("num_optimization_steps", "learning_rate",
+               "num_vi_restarts", "vip_lam_tie")
     table = {}
     for model_name in args.models.split(","):
         dataset = "MN" if model_name == "radon" else None
         spec = get_model(model_name, dataset)
+        vi_kw = dict(num_optimization_steps=steps,
+                     num_vi_restarts=1 if q else 8,
+                     learning_rate=0.02)
+        if not q:
+            ov = FULL_OVERRIDES.get(model_name, {})
+            vi_kw.update({k: v for k, v in ov.items() if k in VI_KEYS})
         for method in METHODS:
             t0 = time.time()
             try:
                 res = run_experiment(spec, method=method, inference="vi",
-                                     num_optimization_steps=steps,
-                                     num_mc_samples=8,
-                                     num_vi_restarts=1 if q else 8,
-                                     learning_rate=0.02, seed=0)
+                                     num_mc_samples=8, seed=0, **vi_kw)
                 elbo = res.summary["elbo"]
                 res.summary["total_time_s"] = time.time() - t0
                 save_result(args.results_dir, res.summary)
@@ -81,9 +91,11 @@ def main():
         f"Mean-field ADVI, {steps} Adam steps (cosine-tail LR), 8 MC "
         "samples, seed 0, best of 8 vmapped restarts (full mode — the "
         "joint (q, λ) objective is multi-basin; see "
-        "docs/DESIGN.md). cVIP optimizes λ jointly; its ELBO should "
-        "match or beat the better of CP/NCP on every model (it "
-        "interpolates between them on this exact objective).",
+        "docs/DESIGN.md), per-model optimizer knobs from "
+        "`run_zoo.FULL_OVERRIDES` (same recipe as ZOO_FULL.md). cVIP "
+        "optimizes λ jointly; its ELBO should match or beat the better "
+        "of CP/NCP on every model (it interpolates between them on "
+        "this exact objective).",
         "",
         "| model | CP | NCP | cVIP | cVIP ≥ best(CP,NCP)−1 nat |",
         "|---|---|---|---|---|",
