@@ -377,6 +377,8 @@ def run_experiment(spec: ModelSpec,
         "num_leapfrog_steps": num_leapfrog_steps,
         "seed": seed,
         "share_adaptation": str(share_adaptation),
+        "use_vi_init": bool(use_vi_init),
+        "use_vi_mass": bool(use_vi_mass),
         "num_vi_restarts": num_vi_restarts,
         "vip_lam_tie": vip_lam_tie,
         "dvip_refit": bool(dvip_refit),

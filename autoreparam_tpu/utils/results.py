@@ -40,7 +40,7 @@ _CONFIG_KEYS = ("num_chains", "num_warmup", "num_samples",
                 "num_leapfrog_steps", "num_optimization_steps", "seed",
                 "num_vi_restarts", "vip_lam_tie", "dvip_refit",
                 "learning_rate", "target_accept", "max_tree_depth",
-                "vi_mass_min_is_ess")
+                "vi_mass_min_is_ess", "use_vi_init", "use_vi_mass")
 
 
 def result_filename(model: str, method: str, inference: str,
