@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--chains", type=int, default=8192)
     ap.add_argument("--warmup", type=int, default=800)
     ap.add_argument("--samples", type=int, default=300)
+    ap.add_argument("--shard", action="store_true",
+                    help="wrap in the mesh-sharded runner (a different "
+                    "HLO; run_parity config 5 runs unsharded on the "
+                    "single chip — the 1-device mesh is trivial)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +53,7 @@ def main():
         method, kw = VARIANTS[name]
         base = dict(num_chains=args.chains, num_warmup=args.warmup,
                     num_samples=args.samples, max_tree_depth=6,
-                    shard=True, seed=0)
+                    shard=args.shard, seed=0)
         base.update(kw)
         t0 = time.time()
         try:
