@@ -62,6 +62,27 @@ class CheesConfig(NamedTuple):
     mass_ema: float = 0.9
     adapt_mass: bool = True
     divergence_threshold: float = 1000.0
+    # "chees_rate" ascends the COST-NORMALIZED criterion
+    # ChEES(T) / (n̄(T) + c0), n̄ = T/2ε the expected leapfrog count —
+    # per-WALL-CLOCK efficiency (the normalization SNAPER-HMC
+    # [Sountsov & Hoffman 2021] applies to its ESJD criterion, plus a
+    # fixed per-proposal overhead c0).  Plain "chees" maximizes raw
+    # ChEES, which keeps lengthening trajectories long after the
+    # efficiency optimum: measured on the radon bench it drifts to
+    # T~18.5 where min-ESS/s is ~2.5x worse than the T∈[3,10] plateau.
+    criterion: str = "chees_rate"
+    # fixed cost per proposal in leapfrog-gradient equivalents: the
+    # extra potential eval + momentum refresh + accept/state traffic
+    # (+ per-sample collection in production loops).  Measured on the
+    # radon bench loop the overhead is ~6 grad-equivalents; 4.0 is a
+    # conservative engine-only default.  c0=0 reduces to pure
+    # per-gradient normalization, which over-shortens (T→~2 while the
+    # min-ESS/s plateau starts at ~3).
+    cost_overhead: float = 4.0
+    # average log T over the last `t_avg_frac` of warmup (the iterate-
+    # averaging dual averaging already applies to log eps): the Adam
+    # ascent is stochastic, and the LAST iterate is a lottery ticket.
+    t_avg_frac: float = 0.4
 
 
 class _AdamState(NamedTuple):
@@ -110,25 +131,43 @@ def _make_transition(potential_fn: Callable, cfg: CheesConfig,
         accept = (jax.random.uniform(k_acc, (C,), dtype) < accept_prob)
 
         # ChEES gradient w.r.t. trajectory length (paper eq. 14):
-        # per-chain  α·(‖z′−z̄′‖² − ‖z−z̄‖²)·⟨z′−z̄′, v′⟩, v′ = M⁻¹ r′
+        # per-chain  α·(‖z′−z̄′‖² − ‖z−z̄‖²)·⟨z′−z̄′, v′⟩, v′ = M⁻¹ r′.
+        # Divergent proposals (non-finite z′/r′) must be masked OUT of
+        # the cross-chain means and sums: one bad chain in thousands
+        # otherwise NaNs z̄′ and with it the whole estimator — at the
+        # trajectory lengths where long-T feedback matters most, every
+        # batch step has some divergent proposal, so without masking
+        # the adaptation receives no signal exactly where it needs it.
+        row_ok = (jnp.isfinite(pot1)
+                  & jnp.all(jnp.isfinite(z1), axis=-1)
+                  & jnp.all(jnp.isfinite(r1), axis=-1))
+        okf = row_ok.astype(dtype)
+        n_ok = jnp.maximum(jnp.sum(okf), 1.0)
+        z1m = jnp.where(row_ok[:, None], z1, 0.0)
         zbar = jnp.mean(z, axis=0)     # cross-chain (ICI when sharded)
-        zbar1 = jnp.mean(z1, axis=0)
+        zbar1 = jnp.sum(z1m, axis=0) / n_ok
         dz = z - zbar[None, :]
-        dz1 = z1 - zbar1[None, :]
-        sq_diff = jnp.sum(dz1 * dz1, axis=-1) - jnp.sum(dz * dz, axis=-1)
-        v1 = r1 * inv_mass[None, :]
+        dz1 = jnp.where(row_ok[:, None], z1 - zbar1[None, :], 0.0)
+        sq_diff = jnp.sum(dz1 * dz1, axis=-1) - okf * jnp.sum(
+            dz * dz, axis=-1)
+        v1 = jnp.where(row_ok[:, None], r1 * inv_mass[None, :], 0.0)
         proj = jnp.sum(dz1 * v1, axis=-1)
-        per_chain = accept_prob * sq_diff * proj
-        denom = jnp.maximum(jnp.sum(accept_prob), 1e-6)
+        w = accept_prob * okf          # accept_prob is 0 on bad rows
+        per_chain = w * sq_diff * proj
+        denom = jnp.maximum(jnp.sum(w), 1e-6)
         chees_grad = jnp.sum(per_chain) / denom  # d ChEES / d t
+        # the criterion VALUE (same accept weighting as the gradient
+        # estimator) — needed by the cost-normalized "chees_rate"
+        # ascent, d/dlogT [log C − log cost] = T·C′/C − dlogcost/dlogT
+        chees_val = jnp.sum(w * sq_diff * sq_diff) / (4.0 * denom)
 
         acc2 = accept[:, None]
         z = jnp.where(acc2, z1, z)
         pot = jnp.where(accept, pot1, pot)
         grad = jnp.where(acc2, grad1, grad)
         divergent = -delta > cfg.divergence_threshold
-        return (z, pot, grad, accept_prob, chees_grad, n_steps,
-                divergent)
+        return (z, pot, grad, accept_prob, chees_grad, chees_val,
+                n_steps, divergent)
 
     return transition
 
@@ -169,12 +208,16 @@ def run_chees(potential_fn: Callable,
 
     pot0, grad0 = v_pg(init_positions)
 
+    # tail averaging starts after this many warmup steps
+    k_avg0 = int(cfg.num_warmup * (1.0 - cfg.t_avg_frac))
+
     def warm_step(carry, xs):
-        z, pot, grad, da, log_T, adam, inv_mass = carry
-        key, u = xs
+        (z, pot, grad, da, log_T, adam, inv_mass, c_ema, log_T_bar,
+         n_avg) = carry
+        key, u, step_i = xs
         eps = jnp.exp(da.log_eps)
         traj = u * jnp.exp(log_T)
-        (z, pot, grad, accept_prob, chees_grad, n_steps,
+        (z, pot, grad, accept_prob, chees_grad, chees_val, n_steps,
          _) = transition(z, pot, grad, key, eps, inv_mass, traj)
         # dual averaging on the cross-chain mean acceptance (arithmetic:
         # a harmonic mean is dominated by a few stuck chains and
@@ -186,6 +229,19 @@ def run_chees(potential_fn: Callable,
         # information survives (a sign-normalized gradient degrades
         # Adam to a fixed-step line search)
         g = chees_grad * jnp.exp(log_T)  # chain rule d/dlogT
+        if cfg.criterion == "chees_rate":
+            # d/dlogT [log C(T) − log(n̄+c0)] = T·C′/C − n̄/(n̄+c0),
+            # with n̄ = T/2ε (expected jittered leapfrog count) and C
+            # from a bias-corrected EMA (single-step values are too
+            # noisy for a denominator)
+            c_ema = 0.9 * c_ema + 0.1 * jnp.where(
+                jnp.isfinite(chees_val), chees_val, c_ema)
+            c_hat = c_ema / (1.0 - 0.9 ** (step_i + 1.0))
+            nbar = jnp.exp(log_T) / (2.0 * eps)
+            g = (g / jnp.maximum(c_hat, 1e-12)
+                 - nbar / (nbar + cfg.cost_overhead))
+        elif cfg.criterion != "chees":
+            raise ValueError(f"unknown criterion {cfg.criterion!r}")
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         adam, step = adam_update(adam, -g, cfg.adam_lr)
         log_T_new = log_T - step
@@ -195,11 +251,21 @@ def run_chees(potential_fn: Callable,
             log_T_new,
             da.log_eps,
             jnp.log(float(cfg.max_leapfrog_steps)) + da.log_eps)
+        # iterate-average log T over the warmup tail (mirrors dual
+        # averaging's log_eps_bar): running mean of the post-update
+        # iterate from step k_avg0 on
+        in_tail = step_i >= k_avg0
+        n_new = n_avg + jnp.where(in_tail, 1.0, 0.0)
+        log_T_bar = jnp.where(
+            in_tail,
+            log_T_bar + (log_T - log_T_bar) / jnp.maximum(n_new, 1.0),
+            log_T_bar)
         if cfg.adapt_mass:
             ens_var = jnp.var(z, axis=0) + 1e-6
             inv_mass = (cfg.mass_ema * inv_mass
                         + (1 - cfg.mass_ema) * ens_var)
-        return ((z, pot, grad, da, log_T, adam, inv_mass),
+        return ((z, pot, grad, da, log_T, adam, inv_mass, c_ema,
+                 log_T_bar, n_new),
                 (accept_prob, jnp.exp(log_T), n_steps))
 
     key, k_warm, k_samp = jax.random.split(key, 3)
@@ -208,22 +274,27 @@ def run_chees(potential_fn: Callable,
     adam0 = _AdamState(jnp.zeros((), dtype), jnp.zeros((), dtype),
                        jnp.zeros((), dtype))
 
-    carry = (init_positions, pot0, grad0, da0, log_T0, adam0, inv_mass0)
+    carry = (init_positions, pot0, grad0, da0, log_T0, adam0, inv_mass0,
+             jnp.zeros((), dtype), log_T0, jnp.zeros((), dtype))
     stuck = jnp.zeros((C,), bool)
     if cfg.num_warmup > 0:
         carry, (warm_acc, T_trace, L_trace) = jax.lax.scan(
             warm_step, carry,
             (jax.random.split(k_warm, cfg.num_warmup),
-             halton[:cfg.num_warmup]))
-        z, pot, grad, da, log_T, _, inv_mass = carry
+             halton[:cfg.num_warmup],
+             jnp.arange(cfg.num_warmup, dtype=dtype)))
+        (z, pot, grad, da, log_T, _, inv_mass, _, log_T_bar,
+         n_avg) = carry
         # the shared (ε, T) have no per-chain escape hatch; teleport
         # chains that ended warmup stuck (see hmc.rescue_stuck_chains)
         (z, pot, grad), stuck = H.rescue_stuck_chains(
             (z, pot, grad), warm_acc, jax.random.fold_in(key, 7))
+        log_T = jnp.where(n_avg > 0, log_T_bar, log_T)
     else:
         warm_acc = jnp.zeros((0, C), dtype)
         T_trace = L_trace = jnp.zeros((0,), dtype)
-        z, pot, grad, da, log_T, _, inv_mass = carry
+        z, pot, grad, da, log_T = carry[:5]
+        inv_mass = carry[6]
     eps_final = jnp.exp(da.log_eps_bar)
     T_final = jnp.exp(log_T)
 
@@ -279,7 +350,7 @@ def sample_chees(potential_fn: Callable, z, pot, grad, key,
         z, pot, grad = carry
         k, u = xs
         traj = u * traj_length
-        (z, pot, grad, accept_prob, _, n_steps, div) = transition(
+        (z, pot, grad, accept_prob, _, _, n_steps, div) = transition(
             z, pot, grad, k, step_size, inv_mass, traj)
         return (z, pot, grad), (jax.vmap(collect_fn)(z), accept_prob,
                                 n_steps, div)

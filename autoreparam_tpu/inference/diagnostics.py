@@ -156,9 +156,28 @@ def effective_sample_size(samples, chain_chunk: int = 512,
         B_over_n = None
 
     if max_lags is not None:
-        acov = autocovariance(samples, axis=0, max_lags=max_lags)
-        sum_acov = jnp.sum(acov, axis=1)
-        sum_w = jnp.sum(acov[0] * S / (S - 1.0), axis=0)
+        # the direct-lag path is O(1) in EXTRA memory but its grouped
+        # conv still materializes (C·dims, S+K) operands; both outputs
+        # are plain chain-sums, so large chain counts go through the
+        # same block accumulation as the FFT path
+        if C > chain_chunk and C % chain_chunk == 0:
+            n_blocks = C // chain_chunk
+            blocks = jnp.moveaxis(
+                samples.reshape((S, n_blocks, chain_chunk)
+                                + samples.shape[2:]), 1, 0)
+
+            def block_moments_k(block):               # (S, chunk, ...)
+                acov = autocovariance(block, axis=0, max_lags=max_lags)
+                return (jnp.sum(acov, axis=1),
+                        jnp.sum(acov[0] * S / (S - 1.0), axis=0))
+
+            sum_acov_b, sum_w_b = jax.lax.map(block_moments_k, blocks)
+            sum_acov = jnp.sum(sum_acov_b, axis=0)
+            sum_w = jnp.sum(sum_w_b, axis=0)
+        else:
+            acov = autocovariance(samples, axis=0, max_lags=max_lags)
+            sum_acov = jnp.sum(acov, axis=1)
+            sum_w = jnp.sum(acov[0] * S / (S - 1.0), axis=0)
     elif C <= chain_chunk or C % chain_chunk != 0:
         acov = autocovariance(samples, axis=0)        # (S, C, ...)
         sum_acov = jnp.sum(acov, axis=1)
