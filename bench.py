@@ -51,6 +51,12 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:
         log(f"compile cache unavailable: {e}")
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        # counter-based RngBitGenerator keys: momentum/accept draws are
+        # ~90*C normals per transition and threefry is VPU-bound on TPU;
+        # rbg cuts that fixed cost (production PRNG choice, scoped to
+        # the bench pipeline — library default stays threefry)
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from autoreparam_tpu.core import get_model_info, make_potential_fn
     from autoreparam_tpu.inference import hmc as H
@@ -222,10 +228,14 @@ def main():
         print(json.dumps(res))
         return
 
+    # 250/1000 measured best on the 16G chip: ChEES T-adaptation
+    # converges in ~150 warmup steps (tail-averaged), and samples
+    # amortize the warmup + per-step fixed costs; S much beyond 1000
+    # OOMs the (S, C, D) sample + model-space arrays.
     res = run_pipeline(
         num_chains=int(os.environ.get("BENCH_CHAINS", 8192)),
-        num_warmup=int(os.environ.get("BENCH_WARMUP", 500)),
-        num_samples=int(os.environ.get("BENCH_SAMPLES", 500)),
+        num_warmup=int(os.environ.get("BENCH_WARMUP", 250)),
+        num_samples=int(os.environ.get("BENCH_SAMPLES", 1000)),
         num_leapfrog=16,
         vi_steps=int(os.environ.get("BENCH_VI_STEPS", 1500)),
         engine=os.environ.get("BENCH_ENGINE", "chees"))
