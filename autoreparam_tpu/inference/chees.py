@@ -70,7 +70,17 @@ class CheesConfig(NamedTuple):
     # ChEES, which keeps lengthening trajectories long after the
     # efficiency optimum: measured on the radon bench it drifts to
     # T~18.5 where min-ESS/s is ~2.5x worse than the T∈[3,10] plateau.
+    # "snaper"/"snaper_rate" replace the ‖·‖² jump statistic with the
+    # squared jump of the projection onto the leading principal
+    # component of the (mass-preconditioned) posterior, estimated
+    # online across the chain ensemble (SNAPER-HMC, arXiv:2110.11576):
+    # the slowest direction is what min-ESS measures, so targeting it
+    # directly beats the isotropic ChEES statistic when one direction
+    # dominates.
     criterion: str = "chees_rate"
+    # EMA damping for the streaming power iteration estimating the
+    # leading principal component (snaper criteria only)
+    pc_ema: float = 0.9
     # fixed cost per proposal in leapfrog-gradient equivalents: the
     # extra potential eval + momentum refresh + accept/state traffic
     # (+ per-sample collection in production loops).  Measured on the
@@ -110,9 +120,19 @@ def _make_transition(potential_fn: Callable, cfg: CheesConfig,
 
         return jax.lax.fori_loop(0, n_steps, body, (z, r, grad))
 
-    def transition(z, pot, grad, key, eps, inv_mass, u):
-        """One jittered-HMC step for all chains; returns ChEES gradient
-        w.r.t. log T as well."""
+    snaper = cfg.criterion.startswith("snaper")
+
+    def transition(z, pot, grad, key, eps, inv_mass, u, pc=None):
+        """One jittered-HMC step for all chains; returns the criterion
+        gradient w.r.t. trajectory length as well.
+
+        `pc` (D,), unit norm: leading principal-component estimate in
+        the preconditioned space — used only by the snaper criteria
+        (callers that discard the criterion outputs may omit it; XLA
+        dead-code-eliminates the unused statistic)."""
+        if pc is None:
+            pc = jnp.ones((D,), dtype) * jax.lax.rsqrt(jnp.asarray(
+                float(D), dtype))
         k_mom, k_acc = jax.random.split(key)
         traj = u  # = u_i * T, computed by caller
         n_steps = jnp.clip(
@@ -148,16 +168,31 @@ def _make_transition(potential_fn: Callable, cfg: CheesConfig,
         zbar1 = jnp.sum(z1m, axis=0) / n_ok
         dz = z - zbar[None, :]
         dz1 = jnp.where(row_ok[:, None], z1 - zbar1[None, :], 0.0)
-        sq_diff = jnp.sum(dz1 * dz1, axis=-1) - okf * jnp.sum(
-            dz * dz, axis=-1)
-        v1 = jnp.where(row_ok[:, None], r1 * inv_mass[None, :], 0.0)
-        proj = jnp.sum(dz1 * v1, axis=-1)
         w = accept_prob * okf          # accept_prob is 0 on bad rows
-        per_chain = w * sq_diff * proj
         denom = jnp.maximum(jnp.sum(w), 1e-6)
-        chees_grad = jnp.sum(per_chain) / denom  # d ChEES / d t
+        if snaper:
+            # jump statistic = squared projection onto the leading
+            # principal component in the preconditioned space
+            # ž = z/σ (σ² = inv_mass, the ensemble-variance mass):
+            # C(T) = 1/4·E[(⟨ž′−ž̄′,p̂⟩² − ⟨ž−ž̄,p̂⟩²)²], whose
+            # T-gradient per chain is sq·proj1·⟨p̂, ṽ′⟩ with
+            # ṽ′ = dž′/dT = √(inv_mass)·r′.
+            scale = jax.lax.rsqrt(inv_mass)[None, :]
+            proj0 = jnp.sum(dz * scale * pc[None, :], axis=-1)
+            proj1 = jnp.sum(dz1 * scale * pc[None, :], axis=-1)
+            vs = jnp.where(row_ok[:, None],
+                           r1 * jnp.sqrt(inv_mass)[None, :], 0.0)
+            projv = jnp.sum(vs * pc[None, :], axis=-1)
+            sq_diff = proj1 * proj1 - okf * proj0 * proj0
+            chees_grad = jnp.sum(w * sq_diff * proj1 * projv) / denom
+        else:
+            sq_diff = jnp.sum(dz1 * dz1, axis=-1) - okf * jnp.sum(
+                dz * dz, axis=-1)
+            v1 = jnp.where(row_ok[:, None], r1 * inv_mass[None, :], 0.0)
+            proj = jnp.sum(dz1 * v1, axis=-1)
+            chees_grad = jnp.sum(w * sq_diff * proj) / denom
         # the criterion VALUE (same accept weighting as the gradient
-        # estimator) — needed by the cost-normalized "chees_rate"
+        # estimator) — needed by the cost-normalized "*_rate"
         # ascent, d/dlogT [log C − log cost] = T·C′/C − dlogcost/dlogT
         chees_val = jnp.sum(w * sq_diff * sq_diff) / (4.0 * denom)
 
@@ -186,6 +221,11 @@ def run_chees(potential_fn: Callable,
     C, D = init_positions.shape
     dtype = init_positions.dtype
     cfg = config
+    if cfg.criterion not in ("chees", "chees_rate", "snaper",
+                             "snaper_rate"):
+        raise ValueError(
+            f"unknown criterion {cfg.criterion!r}; expected one of "
+            "chees, chees_rate, snaper, snaper_rate")
     v_pg = jax.vmap(jax.value_and_grad(potential_fn))
 
     halton = jnp.asarray(
@@ -211,14 +251,16 @@ def run_chees(potential_fn: Callable,
     # tail averaging starts after this many warmup steps
     k_avg0 = int(cfg.num_warmup * (1.0 - cfg.t_avg_frac))
 
+    snaper = cfg.criterion.startswith("snaper")
+
     def warm_step(carry, xs):
         (z, pot, grad, da, log_T, adam, inv_mass, c_ema, log_T_bar,
-         n_avg) = carry
+         n_avg, pc) = carry
         key, u, step_i = xs
         eps = jnp.exp(da.log_eps)
         traj = u * jnp.exp(log_T)
         (z, pot, grad, accept_prob, chees_grad, chees_val, n_steps,
-         _) = transition(z, pot, grad, key, eps, inv_mass, traj)
+         _) = transition(z, pot, grad, key, eps, inv_mass, traj, pc)
         # dual averaging on the cross-chain mean acceptance (arithmetic:
         # a harmonic mean is dominated by a few stuck chains and
         # collapses the shared step size; cf. hmc.adapt_step)
@@ -229,7 +271,7 @@ def run_chees(potential_fn: Callable,
         # information survives (a sign-normalized gradient degrades
         # Adam to a fixed-step line search)
         g = chees_grad * jnp.exp(log_T)  # chain rule d/dlogT
-        if cfg.criterion == "chees_rate":
+        if cfg.criterion.endswith("_rate"):
             # d/dlogT [log C(T) − log(n̄+c0)] = T·C′/C − n̄/(n̄+c0),
             # with n̄ = T/2ε (expected jittered leapfrog count) and C
             # from a bias-corrected EMA (single-step values are too
@@ -240,8 +282,22 @@ def run_chees(potential_fn: Callable,
             nbar = jnp.exp(log_T) / (2.0 * eps)
             g = (g / jnp.maximum(c_hat, 1e-12)
                  - nbar / (nbar + cfg.cost_overhead))
-        elif cfg.criterion != "chees":
-            raise ValueError(f"unknown criterion {cfg.criterion!r}")
+        if snaper:
+            # streaming power iteration for the leading principal
+            # component of the preconditioned ensemble: EMA-damped
+            # normalized covariance action  p̂ ← norm((1−β)·p̂ + β·Sp̂/‖Sp̂‖)
+            # (the ensemble across thousands of chains makes S·p̂ a
+            # single matvec pair; under GSPMD the chain contraction
+            # lowers to a psum over ICI)
+            zs = z * jax.lax.rsqrt(inv_mass)[None, :]
+            dzs = zs - jnp.mean(zs, axis=0)[None, :]
+            spc = dzs.T @ (dzs @ pc)
+            spc_n = spc * jax.lax.rsqrt(
+                jnp.sum(spc * spc) + jnp.asarray(1e-20, dtype))
+            pc_new = (cfg.pc_ema * pc + (1.0 - cfg.pc_ema) * spc_n)
+            pc_new = pc_new * jax.lax.rsqrt(
+                jnp.sum(pc_new * pc_new) + jnp.asarray(1e-20, dtype))
+            pc = jnp.where(jnp.all(jnp.isfinite(pc_new)), pc_new, pc)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         adam, step = adam_update(adam, -g, cfg.adam_lr)
         log_T_new = log_T - step
@@ -265,7 +321,7 @@ def run_chees(potential_fn: Callable,
             inv_mass = (cfg.mass_ema * inv_mass
                         + (1 - cfg.mass_ema) * ens_var)
         return ((z, pot, grad, da, log_T, adam, inv_mass, c_ema,
-                 log_T_bar, n_new),
+                 log_T_bar, n_new, pc),
                 (accept_prob, jnp.exp(log_T), n_steps))
 
     key, k_warm, k_samp = jax.random.split(key, 3)
@@ -274,8 +330,10 @@ def run_chees(potential_fn: Callable,
     adam0 = _AdamState(jnp.zeros((), dtype), jnp.zeros((), dtype),
                        jnp.zeros((), dtype))
 
+    pc0 = jnp.ones((D,), dtype) * jax.lax.rsqrt(
+        jnp.asarray(float(D), dtype))
     carry = (init_positions, pot0, grad0, da0, log_T0, adam0, inv_mass0,
-             jnp.zeros((), dtype), log_T0, jnp.zeros((), dtype))
+             jnp.zeros((), dtype), log_T0, jnp.zeros((), dtype), pc0)
     stuck = jnp.zeros((C,), bool)
     if cfg.num_warmup > 0:
         carry, (warm_acc, T_trace, L_trace) = jax.lax.scan(
@@ -284,7 +342,7 @@ def run_chees(potential_fn: Callable,
              halton[:cfg.num_warmup],
              jnp.arange(cfg.num_warmup, dtype=dtype)))
         (z, pot, grad, da, log_T, _, inv_mass, _, log_T_bar,
-         n_avg) = carry
+         n_avg, pc0) = carry
         # the shared (ε, T) have no per-chain escape hatch; teleport
         # chains that ended warmup stuck (see hmc.rescue_stuck_chains)
         (z, pot, grad), stuck = H.rescue_stuck_chains(
@@ -316,6 +374,7 @@ def run_chees(potential_fn: Callable,
         "rescued_chains": stuck,
         "warmup_accept": warm_acc,                # (W, C)
         "warmup_T_trace": T_trace,
+        "principal_component": pc0,               # (D,) unit, snaper
         "final_position": z,
         "final_pot": pot,
         "final_grad": grad,

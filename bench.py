@@ -99,7 +99,9 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
                                                      run_chees)
         ccfg = CheesConfig(num_warmup=num_warmup,
                            num_samples=num_samples,
-                           max_leapfrog_steps=256)
+                           max_leapfrog_steps=256,
+                           criterion=os.environ.get(
+                               "BENCH_CRITERION", "chees_rate"))
 
         @jax.jit
         def run(i, k, lam, im):

@@ -55,3 +55,40 @@ def test_chees_correlated_gaussian_efficiency():
     np.testing.assert_allclose(flat.std(0), [1.0, 3.0], rtol=0.15)
     emp_rho = np.corrcoef(flat.T)[0, 1]
     np.testing.assert_allclose(emp_rho, rho, atol=0.06)
+
+
+def test_snaper_learns_principal_component():
+    """SNAPER's streaming power iteration must align with the leading
+    eigenvector of the target covariance (mass adaptation off so the
+    preconditioned space IS the model space), and the sampler must stay
+    correct (SNAPER-HMC, arXiv:2110.11576)."""
+    rng = np.random.RandomState(3)
+    Q, _ = np.linalg.qr(rng.randn(4, 4))
+    evals = np.array([16.0, 1.0, 0.5, 0.25])
+    cov = Q @ np.diag(evals) @ Q.T
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def pot(z):
+        return 0.5 * z @ prec @ z
+
+    C = 256
+    key = jax.random.PRNGKey(2)
+    init = jax.random.normal(key, (C, 4))
+    cfg = CheesConfig(num_warmup=500, num_samples=300,
+                      criterion="snaper_rate", adapt_mass=False,
+                      init_step_size=0.2, max_leapfrog_steps=128)
+    samples, stats = run_chees(pot, init, key, cfg)
+    pc = np.asarray(stats["principal_component"])
+    lead = Q[:, 0]
+    align = abs(float(pc @ lead))
+    assert align > 0.95, f"pc misaligned with leading eigenvector: {align}"
+    flat = np.asarray(samples).reshape(-1, 4)
+    np.testing.assert_allclose(flat.var(0), np.diag(cov), rtol=0.25)
+    # raw-criterion and unknown-criterion config paths
+    cfg2 = CheesConfig(num_warmup=50, num_samples=20, criterion="snaper")
+    run_chees(pot, init, key, cfg2)
+    import pytest
+    with pytest.raises(ValueError, match="criterion"):
+        run_chees(pot, init, key,
+                  CheesConfig(num_warmup=5, num_samples=5,
+                              criterion="bogus"))
