@@ -67,6 +67,11 @@ flags.DEFINE_bool("dvip_refit", True,
 flags.DEFINE_list("leapfrog_sweep", None,
                   "sweep --num_leapfrog_steps over these values "
                   "(reference main.py's sweep loop), e.g. 2,4,8,16")
+flags.DEFINE_enum("chees_criterion", "chees_rate",
+                  ["chees", "chees_rate", "snaper", "snaper_rate"],
+                  "trajectory-length criterion for --inference=chees: "
+                  "raw or cost-normalized ChEES / SNAPER (principal-"
+                  "component ESJD)")
 
 
 def main(argv):
@@ -108,6 +113,7 @@ def _run_one(spec, num_leapfrog):
         num_vi_restarts=FLAGS.num_vi_restarts,
         vip_lam_tie=FLAGS.vip_lam_tie,
         dvip_refit=FLAGS.dvip_refit,
+        chees_criterion=FLAGS.chees_criterion,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])
 

@@ -112,7 +112,8 @@ def run_experiment(spec: ModelSpec,
                    vi_mass_min_is_ess: float = 0.002,
                    num_vi_restarts: int = 1,
                    vip_lam_tie: str = "element",
-                   dvip_refit: bool = True
+                   dvip_refit: bool = True,
+                   chees_criterion: str = "chees_rate"
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
 
@@ -296,7 +297,8 @@ def run_experiment(spec: ModelSpec,
     elif inference == "chees":
         from .chees import CheesConfig, run_chees
         ccfg = CheesConfig(num_warmup=num_warmup,
-                           num_samples=num_samples)
+                           num_samples=num_samples,
+                           criterion=chees_criterion)
         pot = make_potential_fn(sampled_model, info, args, kwargs)
         im1d = (inv_mass[0] if (inv_mass is not None
                                 and inv_mass.ndim > 1) else inv_mass)
@@ -387,6 +389,8 @@ def run_experiment(spec: ModelSpec,
         "target_accept": target_accept,
         "max_tree_depth": (max_tree_depth if inference == "nuts"
                            else None),
+        "chees_criterion": (chees_criterion if inference == "chees"
+                            else None),
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),

@@ -94,6 +94,19 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     init = vi.loc + vi.scale * eps
     inv_mass = vi.scale ** 2
 
+    def make_collect(lam):
+        # model-space recovery fused INTO the sampling scan: the z-space
+        # sample array never materializes (collect_fn stores only the
+        # recovered row), halving peak sample memory — which is what
+        # bounds num_samples on the 16G chip
+        rec = recover_fn(make_vip_model(spec.model, lam), info, spec.args)
+
+        def collect(zrow):  # (D,) -> (Dtot,) model space
+            return jnp.concatenate(
+                [v.reshape(-1) for v in rec(zrow).values()])
+
+        return collect
+
     if engine == "chees":
         from autoreparam_tpu.inference.chees import (CheesConfig,
                                                      run_chees)
@@ -101,19 +114,21 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
                            num_samples=num_samples,
                            max_leapfrog_steps=256,
                            criterion=os.environ.get(
-                               "BENCH_CRITERION", "chees_rate"))
+                               "BENCH_CRITERION", "snaper_rate"))
 
         @jax.jit
         def run(i, k, lam, im):
             pot = make_potential_fn(make_vip_model(spec.model, lam),
                                     info, spec.args)
-            return run_chees(pot, i, k, ccfg, inv_mass_diag=im)
+            return run_chees(pot, i, k, ccfg, inv_mass_diag=im,
+                             collect_fn=make_collect(lam))
     else:
         @jax.jit
         def run(i, k, lam, im):
             pot = make_potential_fn(make_vip_model(spec.model, lam),
                                     info, spec.args)
-            return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im)
+            return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im,
+                             collect_fn=make_collect(lam))
 
     def _sync(x):
         # block_until_ready is unreliable through the axon tunnel
@@ -138,19 +153,9 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     wall = (time.perf_counter() - t0) / 2.0
     log(f"HMC steady: {wall:.2f}s")
 
-    # ESS on model-space samples (min over all dims)
+    # samples are already model space (recovered inside the scan)
     S, C = num_samples, num_chains
-
-    @jax.jit
-    def recover_all(zs, lam):  # (S, C, D) -> (S, C, Dtot) model space
-        rec = recover_fn(make_vip_model(spec.model, lam), info, spec.args)
-        vals = jax.vmap(jax.vmap(rec))(zs)
-        return jnp.concatenate(
-            [v.reshape(S, C, -1) for v in vals.values()], axis=-1)
-
-    arr = recover_all(samples, vi.lam)
-    jax.block_until_ready(arr)
-    log("recover pass done")
+    arr = samples
     # MEASURED ESS on the full chain array via the direct-lag path (O(1)
     # extra memory at any chain count; 256 lags >> the Geyer cutoff for
     # these well-mixed chains, tau ~ 3-10).  A 1024-chain-subsample
