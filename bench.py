@@ -133,21 +133,27 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     def _sync(x):
         # block_until_ready is unreliable through the axon tunnel
         # (returns before execution completes); a host fetch of one
-        # element is a true synchronization point.
+        # element is a true synchronization point.  Index (not ravel):
+        # ravel of the (S, C, D) sample array can materialize a copy.
         jax.block_until_ready(x)
         import numpy as _np
-        _np.asarray(jax.tree.leaves(x)[0].ravel()[0:1])
+        leaf = jax.tree.leaves(x)[0]
+        _np.asarray(leaf[(0,) * leaf.ndim])
 
-    # compile
+    # compile.  The (S, C, D) sample array is ~40% of chip memory at
+    # the default config: drop each run's buffers before the next run
+    # or two live copies OOM the chip.
     t0 = time.perf_counter()
     out = run(init, k_run, vi.lam, inv_mass)
     _sync(out)
     compile_and_first = time.perf_counter() - t0
+    del out
     log(f"HMC compile+first: {compile_and_first:.1f}s")
     # steady state: two back-to-back runs, fetch-synced, averaged
     t0 = time.perf_counter()
     samples, stats = run(init, k_run, vi.lam, inv_mass)
     _sync(samples)
+    del samples, stats
     samples, stats = run(init, k_run, vi.lam, inv_mass)
     _sync(samples)
     wall = (time.perf_counter() - t0) / 2.0
@@ -173,7 +179,8 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         extra = {"trajectory_length": float(np.asarray(
                      stats["trajectory_length"])),
                  "mean_leapfrog_per_sample": float(np.asarray(
-                     stats["num_grad_evals_per_sample"]))}
+                     stats["num_grad_evals_per_sample"])),
+                 "criterion": ccfg.criterion}
     return {
         "engine": engine,
         **extra,
