@@ -16,7 +16,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..inference import diagnostics as dg
-from .mesh import CHAIN_AXIS
+from .mesh import CHAIN_AXIS, chain_axes
 
 __all__ = ["sharded_effective_sample_size",
            "sharded_potential_scale_reduction",
@@ -31,10 +31,10 @@ def sharded_effective_sample_size(samples, mesh: Mesh):
     mean moments.  Then the shared Geyer truncation (diagnostics.py).
     """
     S, C = samples.shape[0], samples.shape[1]
-    n_dev = mesh.shape[CHAIN_AXIS]
+    ax = chain_axes(mesh)  # all mesh axes (1-D or hierarchical dcn x ici)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=P(None, CHAIN_AXIS),
+             in_specs=P(None, ax),
              out_specs=P())
     def pooled_moments(block):  # (S, C/n, ...)
         acov = dg.autocovariance(block, axis=0)
@@ -42,17 +42,16 @@ def sharded_effective_sample_size(samples, mesh: Mesh):
         chain_var = acov[0] * S / (S - 1.0)
         sum_w = jnp.sum(chain_var, axis=0)
         chain_mean = jnp.mean(block, axis=0)
-        sum_acov = jax.lax.psum(sum_acov, CHAIN_AXIS)
-        sum_w = jax.lax.psum(sum_w, CHAIN_AXIS)
+        sum_acov = jax.lax.psum(sum_acov, ax)
+        sum_w = jax.lax.psum(sum_w, ax)
         # B/n as a *pre-centered* second moment: psum the global mean
         # first, then psum squared deviations from it — the
         # sum-of-squares-minus-mean form cancels catastrophically in f32
         # when chain means sit far from zero (e.g. electric's a ~
         # N(100·mua, ·)), diverging from the unsharded jnp.var path.
-        mean_m = jax.lax.psum(jnp.sum(chain_mean, axis=0),
-                              CHAIN_AXIS) / C
+        mean_m = jax.lax.psum(jnp.sum(chain_mean, axis=0), ax) / C
         sum_c2 = jax.lax.psum(
-            jnp.sum((chain_mean - mean_m) ** 2, axis=0), CHAIN_AXIS)
+            jnp.sum((chain_mean - mean_m) ** 2, axis=0), ax)
         return sum_acov, sum_w, sum_c2
 
     sum_acov, sum_w, sum_c2 = pooled_moments(samples)
@@ -71,20 +70,20 @@ def sharded_potential_scale_reduction(samples, mesh: Mesh):
     half = S // 2
 
     m = 2 * C  # split chains
+    ax = chain_axes(mesh)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=P(None, CHAIN_AXIS),
+             in_specs=P(None, ax),
              out_specs=P())
     def pooled(block):
         split = jnp.concatenate([block[:half], block[half:2 * half]],
                                 axis=1)                    # (half, 2C/n, ...)
         cm = jnp.mean(split, axis=0)
         cv = jnp.var(split, axis=0, ddof=1)
-        sum_w = jax.lax.psum(jnp.sum(cv, axis=0), CHAIN_AXIS)
+        sum_w = jax.lax.psum(jnp.sum(cv, axis=0), ax)
         # pre-centered between-chain moment (see ESS note above)
-        mean_m = jax.lax.psum(jnp.sum(cm, axis=0), CHAIN_AXIS) / m
-        sum_c2 = jax.lax.psum(jnp.sum((cm - mean_m) ** 2, axis=0),
-                              CHAIN_AXIS)
+        mean_m = jax.lax.psum(jnp.sum(cm, axis=0), ax) / m
+        sum_c2 = jax.lax.psum(jnp.sum((cm - mean_m) ** 2, axis=0), ax)
         return sum_w, sum_c2
 
     sum_w, sum_c2 = pooled(samples)
@@ -96,13 +95,13 @@ def sharded_potential_scale_reduction(samples, mesh: Mesh):
 
 def sharded_mean(x, mesh: Mesh, chain_axis: int = 0):
     """Mean over a sharded chain axis (pooled acceptance stats etc.)."""
+    ax = chain_axes(mesh)
     spec = [None] * x.ndim
-    spec[chain_axis] = CHAIN_AXIS
+    spec[chain_axis] = ax
     n = x.shape[chain_axis]
 
     @partial(shard_map, mesh=mesh, in_specs=P(*spec), out_specs=P())
     def f(block):
-        return jax.lax.psum(jnp.sum(block, axis=chain_axis),
-                            CHAIN_AXIS) / n
+        return jax.lax.psum(jnp.sum(block, axis=chain_axis), ax) / n
 
     return f(x)

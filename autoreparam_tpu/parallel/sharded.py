@@ -16,15 +16,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..inference import hmc as H
 from ..inference import nuts as N
-from .mesh import CHAIN_AXIS, shard_chains
+from .mesh import chain_axes, shard_chains
 
 __all__ = ["run_hmc_sharded", "run_nuts_sharded", "run_chees_sharded",
            "run_interleaved_sharded"]
 
 
 def _chain_sharding(mesh, axis):
+    # the chain dim shards over ALL mesh axes: identical code on a 1-D
+    # ('chains',) mesh and a hierarchical ('dcn', 'chains') mesh
     spec = [None] * (axis + 1)
-    spec[axis] = CHAIN_AXIS
+    spec[axis] = chain_axes(mesh)
     return NamedSharding(mesh, P(*spec))
 
 

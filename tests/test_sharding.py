@@ -200,3 +200,42 @@ def test_sharded_chees_runs():
     assert samples.shape == (100, C, 2)
     flat = np.asarray(samples).reshape(-1, 2)
     np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.25)
+
+
+def test_hierarchical_dcn_mesh():
+    """Pod-spanning scale-out path: a 2-D ('dcn', 'chains') mesh (2
+    slices x 4 devices) must run the same sharded code — chains shard
+    over the product axis, pooled moments psum hierarchically (ICI
+    within a slice, DCN across; SURVEY.md §3.4)."""
+    from autoreparam_tpu.parallel import make_mesh_hierarchical
+
+    mesh = make_mesh_hierarchical(2)
+    assert mesh.axis_names == ("dcn", "chains")
+    assert mesh.shape["dcn"] == 2 and mesh.shape["chains"] == 4
+
+    # diagnostics match the unsharded reference values
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (400, 16, 3))
+    want_ess = np.asarray(effective_sample_size(x))
+    want_rhat = np.asarray(potential_scale_reduction(x))
+    xs = shard_chains(mesh, x, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(sharded_effective_sample_size(xs, mesh)),
+        want_ess, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sharded_potential_scale_reduction(xs, mesh)),
+        want_rhat, rtol=1e-4)
+
+    # a sampler runs end to end on the hierarchical mesh
+    C = 32
+    init = jax.random.normal(key, (C, 2))
+    cfg = HMCConfig(num_warmup=100, num_samples=100,
+                    num_leapfrog_steps=6, init_step_size=0.3)
+    samples, stats = run_hmc_sharded(quad_pot, init, key, cfg, mesh)
+    assert samples.shape == (100, C, 2)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.15)
+
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh_hierarchical(3)
