@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,31 @@ class ModelSpec:
 
 
 MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {}
+
+# How per-group effect lookups (`a[county_idx]`-style) are lowered.
+# "matmul": contract against a constant one-hot matrix.  Under an
+#   8192-chain vmap, `table[idx]` lowers to a batched gather whose
+#   transpose (the gradient, evaluated 2L times per HMC transition) is a
+#   serial scatter-add on the VPU; the one-hot contraction puts the same
+#   data movement on the MXU and its gradient is just another matmul.
+#   Exactly one unit entry per row + HIGHEST precision keeps it
+#   bit-exact vs the gather (tests/test_models.py).
+# "gather": plain indexing (the A/B control; experiments/probe_gather_matmul.py).
+# Default stays "gather" until the probe measures a win on the real
+# TPU (the committed bench numbers were measured on this lowering).
+GATHER_IMPL = "gather"
+
+
+def take(table, idx, n):
+    """Gather rows of a per-group effect vector, TPU-style (see
+    GATHER_IMPL).  `table` is (n,) inside the model ((chains, n) under
+    vmap); `idx` is a constant int array of row ids; returns
+    `table[idx]` elementwise-exactly."""
+    if GATHER_IMPL == "gather":
+        return table[idx]
+    onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+    return jnp.matmul(onehot.astype(table.dtype), table,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def register(name):
@@ -132,7 +158,7 @@ def radon_model(county_idx, floor_x, log_uranium, y, n_counties):
     a = sample("a", d.Normal(mua + b_uranium * log_uranium, sigma_a))
     b_floor = sample("b_floor", d.Normal(0.0, 1.0))
     sigma_y = sample("sigma_y", d.HalfCauchy(1.0))
-    mu_y = a[county_idx] + b_floor * floor_x
+    mu_y = take(a, county_idx, n_counties) + b_floor * floor_x
     sample("y", d.Normal(mu_y, sigma_y), obs=y)
 
 
@@ -149,7 +175,7 @@ def radon_model_binned(cell_county, cell_floor, cell_n, cell_ybar,
     a = sample("a", d.Normal(mua + b_uranium * log_uranium, sigma_a))
     b_floor = sample("b_floor", d.Normal(0.0, 1.0))
     sigma_y = sample("sigma_y", d.HalfCauchy(1.0))
-    mu_cell = a[cell_county] + b_floor * cell_floor
+    mu_cell = take(a, cell_county, n_counties) + b_floor * cell_floor
     sample("y", d.NormalSufficientStats(mu_cell, sigma_y, cell_n,
                                         cell_ss), obs=cell_ybar)
 
@@ -304,12 +330,14 @@ def _election88_effects(n_states, n_age, n_edu, n_region, region,
     a_region = sample("a_region", d.Normal(0.0, sigma_region),
                       sample_shape=(n_region,))
     sigma_a = sample("sigma_a", d.HalfCauchy(1.0))
-    a = sample("a", d.Normal(mua + a_region[region] + b_v_prev * v_prev,
-                             sigma_a))
+    a = sample("a", d.Normal(mua + take(a_region, region, n_region)
+                             + b_v_prev * v_prev, sigma_a))
 
     def logits_for(state, female, black, age, edu):
-        return (a[state] + b_female * female + b_black * black
-                + a_age[age] + a_edu[edu] + a_ae[age * n_edu + edu])
+        return (take(a, state, region.shape[0])
+                + b_female * female + b_black * black
+                + take(a_age, age, n_age) + take(a_edu, edu, n_edu)
+                + take(a_ae, age * n_edu + edu, n_age * n_edu))
 
     return logits_for
 
@@ -429,7 +457,7 @@ def electric_model(grade_pair_idx, treatment, y, n_pairs):
     a = sample("a", d.Normal(100.0 * mua, sigma_a),
                sample_shape=(n_pairs,))
     sigma_y = sample("sigma_y", d.HalfCauchy(1.0))
-    mu_y = a[grade_pair_idx] + b_treat * treatment
+    mu_y = take(a, grade_pair_idx, n_pairs) + b_treat * treatment
     sample("y", d.Normal(mu_y, sigma_y), obs=y)
 
 

@@ -135,3 +135,28 @@ def test_normal_suffstats_dist():
     want = st.norm(loc, scale).logpdf(y).sum()
     np.testing.assert_allclose(float(dist.log_prob(ybar)), want,
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["radon", "election88", "electric"])
+def test_take_matmul_matches_gather(name):
+    """zoo.take's one-hot MXU lowering is bit-exact vs plain indexing
+    (one unit entry per one-hot row + HIGHEST precision), for both the
+    potential and its gradient — the quantity HMC consumes 2L times per
+    transition."""
+    from autoreparam_tpu.models import zoo
+
+    spec = get_model(name, "MN" if name == "radon" else None)
+    info = get_model_info(spec.model, spec.args)
+    pot = make_potential_fn(spec.model, info, spec.args)
+    z = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (4, info.dim))
+    old = zoo.GATHER_IMPL
+    try:
+        zoo.GATHER_IMPL = "matmul"
+        u_m, g_m = jax.vmap(jax.value_and_grad(pot))(z)
+        zoo.GATHER_IMPL = "gather"
+        u_g, g_g = jax.vmap(jax.value_and_grad(pot))(z)
+    finally:
+        zoo.GATHER_IMPL = old
+    np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_g), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g), rtol=1e-5,
+                               atol=1e-6)
