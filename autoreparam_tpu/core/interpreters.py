@@ -135,9 +135,14 @@ def get_model_info(model: Callable, model_args: tuple = (),
             raise ValueError(
                 f"latent site {name!r} has discrete support; it cannot be "
                 "an HMC latent (observe it or marginalise it out)")
-        shape = tuple(jnp.shape(site.value))
-        size = int(jnp.size(site.value)) if shape else 1
-        size = max(size, 1)
+        # LatentSpec.shape is the UNCONSTRAINED layout (what unravel
+        # reshapes to and bijector.forward consumes); identical to the
+        # site's value shape except for dimension-changing support maps
+        # (Dirichlet's stick-breaking: K -> K-1 on the last axis).
+        shape = tuple(b.unconstrained_shape(tuple(jnp.shape(site.value))))
+        size = 1
+        for d in shape:
+            size *= int(d)
         specs.append(LatentSpec(name=name, shape=shape, size=size,
                                 offset=offset, bijector=b))
         offset += size

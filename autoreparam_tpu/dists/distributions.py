@@ -28,8 +28,9 @@ from . import bijectors as bij
 
 __all__ = [
     "Distribution", "Normal", "HalfNormal", "Cauchy", "HalfCauchy",
-    "LogNormal", "Exponential", "Gamma", "InverseGamma", "StudentT",
-    "Uniform", "Bernoulli", "Binomial", "Poisson", "Delta",
+    "LogNormal", "Exponential", "Gamma", "InverseGamma", "Beta",
+    "Dirichlet", "StudentT", "Uniform", "Bernoulli", "Binomial",
+    "Poisson", "Delta",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -261,6 +262,64 @@ class InverseGamma(Distribution):
     def log_prob(self, x):
         a, b = self.concentration, self.scale
         return (a * jnp.log(b) - gammaln(a) - (a + 1.0) * jnp.log(x) - b / x)
+
+
+class Beta(Distribution):
+    def __init__(self, concentration1, concentration0):
+        self.concentration1 = concentration1  # "a" (successes + 1)
+        self.concentration0 = concentration0  # "b"
+
+    def support_bijector(self):
+        return bij.Sigmoid()
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration1, self.concentration0)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.beta(key, self.concentration1,
+                               self.concentration0, shape,
+                               dtype=jnp.result_type(float))
+
+    def log_prob(self, x):
+        a, b = self.concentration1, self.concentration0
+        betaln = gammaln(a) + gammaln(b) - gammaln(a + b)
+        return ((a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x)
+                - betaln)
+
+
+class Dirichlet(Distribution):
+    """Dirichlet over the last axis of `concentration` (shape (..., K)).
+
+    The only non-elementwise family: a latent Dirichlet site occupies
+    K-1 unconstrained coordinates via the StickBreaking support map
+    (bijectors.py), and `log_prob` reduces the event axis — the summed
+    log-joint is unchanged by where the reduction happens.
+    """
+
+    def __init__(self, concentration):
+        self.concentration = concentration
+
+    def support_bijector(self):
+        return bij.StickBreaking()
+
+    @property
+    def batch_shape(self):
+        # includes the event axis: samples have this full shape
+        return jnp.shape(self.concentration)
+
+    def sample(self, key, sample_shape=()):
+        conc = jnp.asarray(self.concentration, jnp.result_type(float))
+        batch = tuple(sample_shape) + conc.shape[:-1]
+        return jax.random.dirichlet(key, conc, batch,
+                                    dtype=jnp.result_type(float))
+
+    def log_prob(self, x):
+        conc = jnp.asarray(self.concentration, jnp.result_type(float))
+        return (jnp.sum((conc - 1.0) * jnp.log(x), axis=-1)
+                + gammaln(jnp.sum(conc, axis=-1))
+                - jnp.sum(gammaln(conc), axis=-1))
 
 
 class StudentT(Distribution):

@@ -29,6 +29,7 @@ CASES = [
     (d.StudentT(4.0, 0.5, 1.5), X_REAL, st.t(4.0, loc=0.5, scale=1.5)),
     (d.Uniform(-1.0, 3.0), np.array([-0.5, 0.0, 2.9], np.float32),
      st.uniform(-1.0, 4.0)),
+    (d.Beta(2.0, 3.5), X_UNIT, st.beta(2.0, 3.5)),
 ]
 
 
@@ -67,6 +68,7 @@ SAMPLE_CASES = [
     (d.Gamma(3.0, 2.0), 1.5, np.sqrt(3) / 2),
     (d.InverseGamma(4.0, 3.0), 1.0, np.sqrt(1.0 / 2.0)),
     (d.Uniform(-1.0, 1.0), 0.0, np.sqrt(1 / 3)),
+    (d.Beta(2.0, 3.0), 0.4, np.sqrt(2.0 * 3.0 / (25.0 * 6.0))),
 ]
 
 
@@ -101,3 +103,75 @@ def test_support_bijectors_roundtrip():
             lambda t: b.forward(t)))(x))))
         np.testing.assert_allclose(np.asarray(b.log_det_jacobian(x)), want,
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_dirichlet_log_prob_matches_scipy():
+    conc = np.array([2.0, 0.7, 3.1], np.float32)
+    x = np.array([[0.2, 0.3, 0.5], [0.6, 0.1, 0.3]], np.float32)
+    got = np.asarray(d.Dirichlet(conc).log_prob(jnp.asarray(x)))
+    want = np.array([st.dirichlet(conc).logpdf(row) for row in x])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dirichlet_sampling():
+    conc = jnp.asarray([1.5, 2.5, 4.0])
+    s = np.asarray(d.Dirichlet(conc).sample(KEY, (20000,)))
+    assert s.shape == (20000, 3)
+    np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(s.mean(0), np.asarray(conc) / 8.0, atol=5e-3)
+
+
+def test_stick_breaking_bijector():
+    b = d.StickBreaking()
+    x = jnp.asarray([[-0.8, 0.3, 1.7, -2.0], [0.0, 0.0, 0.0, 0.0]],
+                    jnp.float32)
+    y = b.forward(x)
+    assert y.shape == (2, 5)
+    np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-6)
+    assert (np.asarray(y) > 0).all()
+    # x = 0 maps to the uniform simplex (the log(K-1-k) offset's job)
+    np.testing.assert_allclose(np.asarray(y[1]), 0.2, atol=1e-6)
+    # roundtrip
+    np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
+    # summed logdet matches the autodiff Jacobian of the K-1 free coords
+    for row in np.asarray(x):
+        jac = jax.jacfwd(lambda t: b.forward(t)[:-1])(jnp.asarray(row))
+        _, want = np.linalg.slogdet(np.asarray(jac))
+        got = float(b.log_det_jacobian(jnp.asarray(row)).sum())
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert b.unconstrained_shape((7, 5)) == (7, 4)
+
+
+def test_beta_dirichlet_hmc_posterior():
+    """Beta-Bernoulli conjugacy + Dirichlet prior-only through full HMC:
+    exercises Sigmoid/StickBreaking support maps (incl. the K-1
+    unconstrained coordinate accounting) end-to-end."""
+    from autoreparam_tpu.core import sample as ppl_sample
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models.zoo import ModelSpec
+
+    y = np.array([1, 1, 0, 1, 0, 1, 1, 1], np.float32)  # 6 of 8
+
+    def model(y):
+        p = ppl_sample("p", d.Beta(2.0, 2.0))
+        w = ppl_sample("w", d.Dirichlet(jnp.asarray([2.0, 3.0, 4.0])))
+        logits = jnp.log(p) - jnp.log1p(-p)
+        ppl_sample("y", d.Bernoulli(logits), obs=y)
+
+    spec = ModelSpec(name="beta_dirichlet", model=model, args=(y,),
+                     kwargs={}, description="Beta+Dirichlet smoke model")
+    res = run_experiment(spec, method="cp", inference="hmc", num_chains=16,
+                         num_warmup=400, num_samples=400,
+                         num_leapfrog_steps=8, seed=0)
+    names = list(res.summary["param_names"])
+    mean, std = np.asarray(res.summary["mean"]), np.asarray(
+        res.summary["std"])
+    post = st.beta(2.0 + 6.0, 2.0 + 2.0)  # conjugate posterior of p
+    ip = names.index("p")
+    assert abs(mean[ip] - post.mean()) < 0.03
+    assert abs(std[ip] - post.std()) < 0.03
+    # w is untouched by the likelihood: posterior == Dirichlet prior
+    mw = np.array([mean[names.index(f"w[{i}]")] for i in range(3)])
+    np.testing.assert_allclose(mw, np.array([2, 3, 4]) / 9.0, atol=0.03)
+    assert res.summary["rhat_max"] < 1.1
