@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_fused_leapfrog", "pad_dim"]
+__all__ = ["make_fused_leapfrog", "make_fused_transition", "pad_dim"]
 
 
 def pad_dim(d: int, multiple: int = 128) -> int:
@@ -100,46 +100,127 @@ def make_fused_leapfrog(potential_fn: Callable, num_steps: int,
     return fused
 
 
+def make_fused_transition(potential_fn: Callable, num_steps: int,
+                          dim: int, block_chains: int = 256,
+                          divergence_threshold: float = 1000.0,
+                          interpret: bool = False):
+    """Whole HMC transition in ONE Pallas call: momentum refresh from
+    pre-sampled standard normals, L leapfrog steps, both Hamiltonian
+    energies, and the Metropolis select — nothing but the old state and
+    the RNG draws crosses HBM inbound, nothing but the new state and
+    (C,)-sized stats outbound.  This is the "fuse momentum refresh +
+    energy into the kernel" step the bench A/B asked for: the partial
+    kernel (make_fused_leapfrog) still round-trips 4 (C, D) trajectory
+    arrays to XLA for the accept logic and reads 3 back.
+
+    RNG stays OUTSIDE (jax.random is threefry in XLA; Pallas's on-core
+    PRNG is a different bitstream) so the fused path is bit-comparable
+    to vmap(inference.hmc.hmc_kernel) given the same keys — the
+    equivalence test in tests/test_pallas.py relies on that.
+
+    fused(z, pot, grad, normals, u, step_size, inv_mass) ->
+        (z', pot', grad', accept_prob, accepted, divergent, energy1)
+    with accepted/divergent returned as {0,1} floats (TPU Pallas outputs
+    are vector-register shaped; callers cast to bool).
+    """
+    vpg = jax.vmap(jax.value_and_grad(potential_fn))
+
+    def kernel(z_ref, pot_ref, grad_ref, n_ref, u_ref, eps_ref, im_ref,
+               z_out, pot_out, grad_out, ap_out, acc_out, div_out,
+               en_out):
+        z = z_ref[:]
+        pot0 = pot_ref[:][:, 0]
+        grad = grad_ref[:]
+        eps = eps_ref[:]          # (B, 1)
+        inv_mass = im_ref[:]      # (B, D)
+        r = n_ref[:] * jax.lax.rsqrt(inv_mass)
+        energy0 = pot0 + 0.5 * jnp.sum(r * r * inv_mass, axis=-1)
+
+        def body(_, carry):
+            z, r, grad, _pot = carry
+            r_half = r - 0.5 * eps * grad
+            z_new = z + eps * inv_mass * r_half
+            pot_new, grad_new = vpg(z_new)
+            r_new = r_half - 0.5 * eps * grad_new
+            return (z_new, r_new, grad_new, pot_new)
+
+        z1, r1, grad1, pot1 = jax.lax.fori_loop(
+            0, num_steps, body, (z, r, grad, pot0))
+        energy1 = pot1 + 0.5 * jnp.sum(r1 * r1 * inv_mass, axis=-1)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        divergent = -delta > divergence_threshold
+        accept = u_ref[:][:, 0] < accept_prob
+        acc2 = accept[:, None]
+        z_out[:] = jnp.where(acc2, z1, z)
+        pot_out[:] = jnp.where(accept, pot1, pot0)[:, None]
+        grad_out[:] = jnp.where(acc2, grad1, grad)
+        ap_out[:] = accept_prob[:, None]
+        acc_out[:] = accept[:, None].astype(z.dtype)
+        div_out[:] = divergent[:, None].astype(z.dtype)
+        en_out[:] = energy1[:, None]
+
+    @jax.jit
+    def fused(z, pot, grad, normals, u, step_size, inv_mass):
+        C, D = z.shape
+        assert D == dim, (D, dim)
+        B = min(block_chains, C)
+        grid = (C // B,)
+        spec2 = pl.BlockSpec((B, D), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        spec1 = pl.BlockSpec((B, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        col = jax.ShapeDtypeStruct((C, 1), z.dtype)
+        full = jax.ShapeDtypeStruct((C, D), z.dtype)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec2, spec1, spec2, spec2, spec1, spec1, spec2],
+            out_specs=[spec2, spec1, spec2, spec1, spec1, spec1, spec1],
+            out_shape=[full, col, full, col, col, col, col],
+            interpret=interpret,
+        )(z, pot[:, None], grad, normals, u[:, None],
+          step_size[:, None], inv_mass)
+        z1, pot1, grad1, ap, acc, div, en = outs
+        return (z1, pot1[:, 0], grad1, ap[:, 0], acc[:, 0], div[:, 0],
+                en[:, 0])
+
+    return fused
+
+
 def fused_hmc_kernel(potential_fn: Callable, num_leapfrog_steps: int,
                      dim: int, block_chains: int = 256,
                      divergence_threshold: float = 1000.0,
                      interpret: bool = False):
-    """Batched HMC transition using the fused Pallas integrator.
+    """Batched HMC transition using the fully-fused Pallas kernel.
 
     Contract matches vmap(inference.hmc.hmc_kernel(...)): takes batched
     (state, keys, step_size, inv_mass), returns (state, info) — so the
     two paths are drop-in interchangeable (and equivalence-tested).
+    Key handling mirrors hmc.hmc_kernel exactly (split -> momentum key,
+    accept key) so given the same per-chain keys the draws are
+    identical.
     """
     from ..inference.hmc import HMCInfo, HMCState
 
-    fused = make_fused_leapfrog(potential_fn, num_leapfrog_steps, dim,
-                                block_chains, interpret=interpret)
+    fused = make_fused_transition(
+        potential_fn, num_leapfrog_steps, dim, block_chains,
+        divergence_threshold=divergence_threshold, interpret=interpret)
 
     def one_step(state: "HMCState", keys, step_size, inv_mass):
-        C, D = state.z.shape
         key_mom = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         key_acc = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
-        r = (jax.vmap(lambda k, s: jax.random.normal(k, s.shape, s.dtype))
-             (key_mom, state.z) * jax.lax.rsqrt(inv_mass))
-        energy0 = state.pot + 0.5 * jnp.sum(r * r * inv_mass, axis=-1)
-        z_new, r_new, pot_new, grad_new = fused(
-            state.z, r, state.grad, step_size, inv_mass)
-        energy1 = pot_new + 0.5 * jnp.sum(r_new * r_new * inv_mass,
-                                          axis=-1)
-        delta = energy0 - energy1
-        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
-        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
-        is_divergent = -delta > divergence_threshold
+        normals = (jax.vmap(lambda k, s: jax.random.normal(k, s.shape,
+                                                           s.dtype))
+                   (key_mom, state.z))
         u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_acc)
-        accept = u < accept_prob
-        acc2 = accept[:, None]
-        new_state = HMCState(
-            z=jnp.where(acc2, z_new, state.z),
-            pot=jnp.where(accept, pot_new, state.pot),
-            grad=jnp.where(acc2, grad_new, state.grad),
-        )
-        info = HMCInfo(accept_prob=accept_prob, is_accepted=accept,
-                       is_divergent=is_divergent, energy=energy1,
+        z1, pot1, grad1, ap, acc, div, energy1 = fused(
+            state.z, state.pot, state.grad, normals, u, step_size,
+            inv_mass)
+        new_state = HMCState(z=z1, pot=pot1, grad=grad1)
+        info = HMCInfo(accept_prob=ap, is_accepted=acc.astype(bool),
+                       is_divergent=div.astype(bool), energy=energy1,
                        step_size=step_size)
         return new_state, info
 

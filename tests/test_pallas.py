@@ -56,6 +56,50 @@ def test_fused_leapfrog_matches_xla_path():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_transition_matches_xla_kernel():
+    """The fully-fused transition (momentum refresh + L leapfrogs +
+    energies + Metropolis select in ONE Pallas call) must reproduce
+    vmap(hmc.hmc_kernel) given the same per-chain keys: RNG stays
+    outside the kernel precisely so this comparison is exact."""
+    D = 8
+    pot = _funnel_potential(D)
+    C = 16
+    z = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (C, D))
+    pot0, grad0 = jax.vmap(jax.value_and_grad(pot))(z)
+    state = H.HMCState(z, pot0, grad0)
+    keys = jax.random.split(jax.random.PRNGKey(7), C)
+    step = jnp.full((C,), 0.12)
+    inv_mass = jnp.ones((C, D)).at[:, 0].set(2.5)
+
+    ref_step = jax.vmap(H.hmc_kernel(pot, 10), in_axes=(0, 0, 0, 0))
+    st_ref, info_ref = ref_step(state, keys, step, inv_mass)
+
+    kern = fused_hmc_kernel(pot, num_leapfrog_steps=10, dim=D,
+                            block_chains=8, interpret=True)
+    st_f, info_f = kern(state, keys, step, inv_mass)
+
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_ref.z),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.pot),
+                               np.asarray(st_ref.pot),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.grad),
+                               np.asarray(st_ref.grad),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(info_f.accept_prob),
+                               np.asarray(info_ref.accept_prob),
+                               rtol=1e-4, atol=1e-5)
+    # accept decisions are identical draws -> identical booleans
+    # (tolerate nothing here: u and accept_prob match to float eps)
+    np.testing.assert_array_equal(np.asarray(info_f.is_accepted),
+                                  np.asarray(info_ref.is_accepted))
+    np.testing.assert_array_equal(np.asarray(info_f.is_divergent),
+                                  np.asarray(info_ref.is_divergent))
+    np.testing.assert_allclose(np.asarray(info_f.energy),
+                               np.asarray(info_ref.energy),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_hmc_kernel_transition_valid():
     """Full fused transition: correct shapes, acceptance in [0,1], and a
     statistically valid chain on a Gaussian target."""
