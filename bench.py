@@ -289,6 +289,25 @@ def main():
         vi_steps=int(os.environ.get("BENCH_VI_STEPS", 1500)),
         engine=os.environ.get("BENCH_ENGINE", "chees"))
     res["degraded_cpu_fallback"] = degraded
+    if degraded:
+        # the degraded line is NOT the framework's TPU performance;
+        # surface the newest committed real-TPU measurement alongside
+        # (clearly labeled, with its provenance) so the round artifact
+        # still carries the hardware number the CPU fallback replaces.
+        last = os.path.join(REPO, "results", "bench",
+                            "bench_r3_snaper.json")
+        try:
+            with open(last) as f:
+                prev = json.load(f)
+            res["last_good_tpu"] = {
+                "source": os.path.relpath(last, REPO),
+                "mtime": time.strftime(
+                    "%Y-%m-%d %H:%M", time.gmtime(os.path.getmtime(last))),
+                "ess_per_sec": prev.get("detail", prev).get("ess_per_sec"),
+                "vs_baseline": prev.get("vs_baseline"),
+            }
+        except Exception as e:
+            res["last_good_tpu"] = {"error": str(e)}
     try:
         base = cpu_baseline()
         vs = res["ess_per_sec"] / base["ess_per_sec"]
