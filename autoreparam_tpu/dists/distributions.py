@@ -30,7 +30,7 @@ __all__ = [
     "Distribution", "Normal", "HalfNormal", "Cauchy", "HalfCauchy",
     "LogNormal", "Exponential", "Gamma", "InverseGamma", "Beta",
     "Dirichlet", "StudentT", "Uniform", "Bernoulli", "Binomial",
-    "Poisson", "Delta",
+    "Categorical", "Multinomial", "Poisson", "Delta",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -426,6 +426,64 @@ class Binomial(Distribution):
         log_comb = (gammaln(n + 1.0) - gammaln(x + 1.0)
                     - gammaln(n - x + 1.0))
         return log_comb + x * self.logits - n * jax.nn.softplus(self.logits)
+
+
+class Categorical(Distribution):
+    """Over {0..K-1}; logits on the last axis (TPU-friendly: log_prob
+    is a one-hot contraction, no gather)."""
+
+    def __init__(self, logits):
+        self.logits = logits
+
+    def support_bijector(self):
+        return None
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)[:-1]
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.categorical(
+            key, self.logits, shape=shape).astype(jnp.result_type(float))
+
+    def log_prob(self, x):
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        k = jnp.shape(self.logits)[-1]
+        oh = jax.nn.one_hot(jnp.asarray(x, jnp.int32), k, dtype=logp.dtype)
+        return jnp.sum(oh * logp, axis=-1)
+
+
+class Multinomial(Distribution):
+    """Counts over K categories (last axis); logits-parameterised — the
+    Dirichlet's conjugate observed family.  Like Dirichlet, batch_shape
+    includes the event axis (samples/log_prob inputs carry the full
+    (..., K) shape; log_prob reduces it)."""
+
+    def __init__(self, total_count, logits):
+        self.total_count = total_count
+        self.logits = logits
+
+    def support_bijector(self):
+        return None
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        p = jax.nn.softmax(jnp.asarray(self.logits,
+                                       jnp.result_type(float)), axis=-1)
+        return jax.random.multinomial(key, n, p, shape=shape,
+                                      dtype=jnp.result_type(float))
+
+    def log_prob(self, x):
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        return (gammaln(n + 1.0) - jnp.sum(gammaln(x + 1.0), axis=-1)
+                + jnp.sum(x * logp, axis=-1))
 
 
 class Poisson(Distribution):

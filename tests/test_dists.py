@@ -143,24 +143,55 @@ def test_stick_breaking_bijector():
     assert b.unconstrained_shape((7, 5)) == (7, 4)
 
 
-def test_beta_dirichlet_hmc_posterior():
-    """Beta-Bernoulli conjugacy + Dirichlet prior-only through full HMC:
-    exercises Sigmoid/StickBreaking support maps (incl. the K-1
-    unconstrained coordinate accounting) end-to-end."""
+def test_categorical_log_prob_and_sampling():
+    logits = jnp.log(jnp.asarray([0.2, 0.3, 0.5]))
+    dist = d.Categorical(logits)
+    x = jnp.asarray([0.0, 1.0, 2.0, 2.0])
+    got = np.asarray(dist.log_prob(x))
+    np.testing.assert_allclose(got, np.log([0.2, 0.3, 0.5, 0.5]),
+                               rtol=1e-5)
+    s = np.asarray(dist.sample(KEY, (40000,)))
+    freq = np.bincount(s.astype(int), minlength=3) / s.size
+    np.testing.assert_allclose(freq, [0.2, 0.3, 0.5], atol=0.01)
+    assert dist.batch_shape == ()
+
+
+def test_multinomial_log_prob_matches_scipy():
+    p = np.array([0.2, 0.3, 0.5])
+    dist = d.Multinomial(10.0, jnp.log(jnp.asarray(p)))
+    x = np.array([[2, 3, 5], [0, 4, 6], [10, 0, 0]], np.float32)
+    got = np.asarray(dist.log_prob(jnp.asarray(x)))
+    want = st.multinomial(10, p).logpmf(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    s = np.asarray(dist.sample(KEY, (8000,)))
+    assert s.shape == (8000, 3)
+    np.testing.assert_allclose(s.sum(-1), 10.0)
+    np.testing.assert_allclose(s.mean(0), 10 * p, atol=0.1)
+
+
+def test_beta_dirichlet_multinomial_hmc_posterior():
+    """Beta-Bernoulli + Dirichlet-Multinomial conjugacy through full
+    HMC: exercises Sigmoid/StickBreaking support maps (incl. the K-1
+    unconstrained coordinate accounting) end-to-end against closed-form
+    posteriors."""
     from autoreparam_tpu.core import sample as ppl_sample
     from autoreparam_tpu.inference import run_experiment
     from autoreparam_tpu.models.zoo import ModelSpec
 
     y = np.array([1, 1, 0, 1, 0, 1, 1, 1], np.float32)  # 6 of 8
+    counts = np.array([5.0, 2.0, 13.0], np.float32)     # n = 20
 
-    def model(y):
+    def model(y, counts):
         p = ppl_sample("p", d.Beta(2.0, 2.0))
         w = ppl_sample("w", d.Dirichlet(jnp.asarray([2.0, 3.0, 4.0])))
         logits = jnp.log(p) - jnp.log1p(-p)
         ppl_sample("y", d.Bernoulli(logits), obs=y)
+        ppl_sample("c", d.Multinomial(counts.sum(), jnp.log(w)),
+                   obs=counts)
 
-    spec = ModelSpec(name="beta_dirichlet", model=model, args=(y,),
-                     kwargs={}, description="Beta+Dirichlet smoke model")
+    spec = ModelSpec(name="beta_dirichlet", model=model,
+                     args=(y, counts), kwargs={},
+                     description="Beta+Dirichlet-Multinomial smoke model")
     res = run_experiment(spec, method="cp", inference="hmc", num_chains=16,
                          num_warmup=400, num_samples=400,
                          num_leapfrog_steps=8, seed=0)
@@ -171,7 +202,13 @@ def test_beta_dirichlet_hmc_posterior():
     ip = names.index("p")
     assert abs(mean[ip] - post.mean()) < 0.03
     assert abs(std[ip] - post.std()) < 0.03
-    # w is untouched by the likelihood: posterior == Dirichlet prior
+    # conjugate posterior of w: Dirichlet(conc + counts)
+    post_conc = np.array([2, 3, 4]) + counts
     mw = np.array([mean[names.index(f"w[{i}]")] for i in range(3)])
-    np.testing.assert_allclose(mw, np.array([2, 3, 4]) / 9.0, atol=0.03)
+    sw = np.array([std[names.index(f"w[{i}]")] for i in range(3)])
+    want_mean = post_conc / post_conc.sum()
+    a0 = post_conc.sum()
+    want_std = np.sqrt(want_mean * (1 - want_mean) / (a0 + 1))
+    np.testing.assert_allclose(mw, want_mean, atol=0.03)
+    np.testing.assert_allclose(sw, want_std, atol=0.02)
     assert res.summary["rhat_max"] < 1.1
