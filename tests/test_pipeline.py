@@ -121,3 +121,44 @@ def test_vi_is_ess_trust_diagnostic():
     assert frac_good > 0.5
     assert frac_bad < 0.005
     assert frac_bad < frac_good
+
+
+def test_mixed_simplex_and_location_scale_model():
+    """cVIP pipeline on a model mixing VIP-eligible location-scale
+    sites with a non-eligible simplex (Dirichlet) latent: λ must be
+    learned ONLY on the eligible sites, and the stick-broken coordinates
+    must ride the same warmup/sampling machinery (incl. the interleaved
+    CP/NCP coordinate maps, which must pass simplex coordinates through
+    untouched)."""
+    import jax.numpy as jnp
+
+    from autoreparam_tpu import dists as d
+    from autoreparam_tpu.core import sample as ppl_sample
+    from autoreparam_tpu.models.zoo import ModelSpec
+
+    y = np.array([1.2, 0.8, 2.1, 1.7, -0.3, 0.9], np.float32)
+    counts = np.array([4.0, 9.0, 7.0], np.float32)
+
+    def model(y, counts):
+        mu = ppl_sample("mu", d.Normal(0.0, 3.0))
+        theta = ppl_sample("theta", d.Normal(mu, 1.0), sample_shape=(6,))
+        ppl_sample("y", d.Normal(theta, 0.5), obs=y)
+        w = ppl_sample("w", d.Dirichlet(jnp.asarray([1.0, 1.0, 1.0])))
+        ppl_sample("c", d.Multinomial(counts.sum(), jnp.log(w)),
+                   obs=counts)
+
+    spec = ModelSpec("mixed", model, (y, counts), {}, "")
+    post_mean = (1.0 + counts) / (3.0 + counts.sum())
+    for method in ("cvip", "interleaved"):
+        res = run_experiment(spec, method=method, inference="hmc",
+                             num_chains=8, num_warmup=300,
+                             num_samples=300, num_leapfrog_steps=8,
+                             seed=0)
+        assert res.summary["rhat_max"] < 1.1
+        lam = res.summary.get("lambda")
+        if method == "cvip":
+            assert sorted(lam) == ["mu", "theta"]  # w NOT VIP-rewritten
+        names = list(res.summary["param_names"])
+        mw = np.array([res.summary["mean"][names.index(f"w[{i}]")]
+                       for i in range(3)])
+        np.testing.assert_allclose(mw, post_mean, atol=0.05)
