@@ -4,6 +4,7 @@ from .bijectors import (Affine, Bijector, Chain, Exp, Identity, Sigmoid,
 from .distributions import (Bernoulli, Beta, Binomial, Categorical,
                             Cauchy, Delta, Dirichlet, Distribution,
                             Exponential, Gamma, HalfCauchy, HalfNormal,
-                            InverseGamma, LogNormal, Multinomial, Normal,
+                            InverseGamma, LogNormal, Multinomial,
+                            MultivariateNormal, Normal,
                             NormalSufficientStats, Poisson, StudentT,
                             Uniform)

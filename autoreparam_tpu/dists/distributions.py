@@ -30,7 +30,8 @@ __all__ = [
     "Distribution", "Normal", "HalfNormal", "Cauchy", "HalfCauchy",
     "LogNormal", "Exponential", "Gamma", "InverseGamma", "Beta",
     "Dirichlet", "StudentT", "Uniform", "Bernoulli", "Binomial",
-    "Categorical", "Multinomial", "Poisson", "Delta",
+    "Categorical", "Multinomial", "MultivariateNormal",
+    "Poisson", "Delta",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -426,6 +427,52 @@ class Binomial(Distribution):
         log_comb = (gammaln(n + 1.0) - gammaln(x + 1.0)
                     - gammaln(n - x + 1.0))
         return log_comb + x * self.logits - n * jax.nn.softplus(self.logits)
+
+
+class MultivariateNormal(Distribution):
+    """Full-covariance normal over the last axis, parameterised by a
+    lower-triangular scale (loc (..., K), scale_tril (..., K, K)).
+
+    The support is all of R^K (Identity map), so MVN latents need no
+    bijector bookkeeping; log_prob reduces the event axis (like
+    Dirichlet, batch_shape includes it).  The solve is a triangular
+    matmul — MXU work, not a gather.  Not elementwise location-scale:
+    NCP/VIP rewriting does not apply (loc_scale() stays None); use it
+    for correlated priors whose children are rewritten instead.
+    """
+
+    def __init__(self, loc, scale_tril):
+        self.loc = loc
+        self.scale_tril = scale_tril
+
+    @property
+    def batch_shape(self):
+        # includes the event axis: samples have this full shape
+        return jnp.broadcast_shapes(
+            jnp.shape(self.loc), jnp.shape(self.scale_tril)[:-1])
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return self.loc + jnp.einsum("...ij,...j->...i",
+                                     self.scale_tril, z)
+
+    def log_prob(self, x):
+        L = jnp.asarray(self.scale_tril, jnp.result_type(float))
+        dev = x - self.loc
+        # solve L y = dev; quad form = |y|^2 (batch dims broadcast —
+        # triangular_solve wants them aligned explicitly)
+        batch = jnp.broadcast_shapes(jnp.shape(dev)[:-1],
+                                     jnp.shape(L)[:-2])
+        Lb = jnp.broadcast_to(L, batch + L.shape[-2:])
+        devb = jnp.broadcast_to(dev, batch + dev.shape[-1:])
+        y = jax.scipy.linalg.solve_triangular(Lb, devb[..., None],
+                                              lower=True)[..., 0]
+        k = jnp.shape(L)[-1]
+        half_logdet = jnp.sum(jnp.log(jnp.abs(
+            jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
+        return (-0.5 * jnp.sum(y * y, axis=-1) - half_logdet
+                - 0.5 * k * _LOG_2PI)
 
 
 class Categorical(Distribution):

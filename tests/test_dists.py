@@ -212,3 +212,54 @@ def test_beta_dirichlet_multinomial_hmc_posterior():
     np.testing.assert_allclose(mw, want_mean, atol=0.03)
     np.testing.assert_allclose(sw, want_std, atol=0.02)
     assert res.summary["rhat_max"] < 1.1
+
+
+def test_multivariate_normal_matches_scipy():
+    L = np.array([[1.5, 0.0, 0.0],
+                  [0.4, 1.1, 0.0],
+                  [-0.3, 0.7, 0.8]], np.float32)
+    loc = np.array([0.5, -1.0, 2.0], np.float32)
+    cov = L @ L.T
+    dist = d.MultivariateNormal(jnp.asarray(loc), jnp.asarray(L))
+    x = np.array([[0.0, 0.0, 0.0], [1.0, -2.0, 2.5]], np.float32)
+    got = np.asarray(dist.log_prob(jnp.asarray(x)))
+    want = st.multivariate_normal(loc, cov).logpdf(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    s = np.asarray(dist.sample(KEY, (40000,)))
+    np.testing.assert_allclose(s.mean(0), loc, atol=0.03)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.05)
+
+
+def test_multivariate_normal_hmc_posterior():
+    """MVN prior + iid Normal likelihood -> closed-form MVN posterior;
+    checks the full-covariance density through HMC (Identity support)."""
+    from autoreparam_tpu.core import sample as ppl_sample
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models.zoo import ModelSpec
+
+    L = np.array([[1.0, 0.0], [0.8, 0.6]], np.float32)
+    cov = L @ L.T
+    sigma = 0.7
+    y = np.array([1.3, -0.4], np.float32)
+
+    def model(y):
+        z = ppl_sample("z", d.MultivariateNormal(jnp.zeros(2),
+                                                 jnp.asarray(L)))
+        ppl_sample("y", d.Normal(z, sigma), obs=y)
+
+    res = run_experiment(ModelSpec("mvn", model, (y,), {}, ""),
+                         method="cp", inference="hmc", num_chains=16,
+                         num_warmup=300, num_samples=300,
+                         num_leapfrog_steps=8, seed=0)
+    prec = np.linalg.inv(cov) + np.eye(2) / sigma ** 2
+    post_cov = np.linalg.inv(prec)
+    post_mean = post_cov @ (y / sigma ** 2)
+    names = list(res.summary["param_names"])
+    mean = np.asarray(res.summary["mean"])
+    std = np.asarray(res.summary["std"])
+    got_m = np.array([mean[names.index(f"z[{i}]")] for i in range(2)])
+    got_s = np.array([std[names.index(f"z[{i}]")] for i in range(2)])
+    np.testing.assert_allclose(got_m, post_mean, atol=0.05)
+    np.testing.assert_allclose(got_s, np.sqrt(np.diag(post_cov)),
+                               atol=0.04)
+    assert res.summary["rhat_max"] < 1.1
