@@ -25,7 +25,7 @@ flags.DEFINE_enum("method", "cp",
                   ["cp", "ncp", "cvip", "dvip", "interleaved"],
                   "parameterisation method")
 flags.DEFINE_enum("inference", "hmc",
-                  ["hmc", "nuts", "chees", "vi"],
+                  ["hmc", "nuts", "chees", "ghmc", "vi"],
                   "inference engine")
 flags.DEFINE_integer("num_chains", 128, "parallel chains")
 flags.DEFINE_integer("num_samples", 1000, "posterior samples per chain")

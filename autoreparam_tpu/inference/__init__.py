@@ -1,4 +1,5 @@
-from . import chees, diagnostics, hmc, interleaved, nuts, pipeline, vi
+from . import (chees, diagnostics, ghmc, hmc, interleaved, nuts,
+               pipeline, vi)
 from .diagnostics import (effective_sample_size, ess_per_grad,
                           potential_scale_reduction, summarize)
 from .hmc import HMCConfig, run_hmc, hmc_kernel, warmup_schedule
@@ -7,3 +8,4 @@ from .nuts import run_nuts, nuts_kernel
 from .pipeline import ExperimentResult, run_experiment
 from .vi import VIResult, discretize_lambda, fit_vi, fit_vip_vi
 from .chees import CheesConfig, run_chees
+from .ghmc import GHMCConfig, run_ghmc, ghmc_kernel

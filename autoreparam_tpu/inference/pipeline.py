@@ -5,7 +5,7 @@ reference's `main.py` (SURVEY.md §3.1 "Experiment driver", §4).
 reference CLI vocabulary:
 
     method    ∈ {cp, ncp, cvip, dvip, interleaved}
-    inference ∈ {hmc, nuts, chees, vi}
+    inference ∈ {hmc, nuts, chees, ghmc, vi}
 
 The cVIP/dVIP pipelines are the reference's headline flow (SURVEY.md
 §4.2): VI phase learns (q*, λ*), then HMC runs on the λ*-parameterised
@@ -34,7 +34,7 @@ from .vi import VIResult, discretize_lambda, fit_vi
 __all__ = ["ExperimentResult", "run_experiment", "METHODS", "INFERENCES"]
 
 METHODS = ("cp", "ncp", "cvip", "dvip", "interleaved")
-INFERENCES = ("hmc", "nuts", "chees", "vi")
+INFERENCES = ("hmc", "nuts", "chees", "ghmc", "vi")
 
 #: Models whose posteriors are multi-basin at warmup: stuck chains drag
 #: any cross-chain acceptance pool, so these default to pooled *mass*
@@ -311,6 +311,22 @@ def run_experiment(spec: ModelSpec,
             samples, stats = run_chees(pot, init, k_run, ccfg,
                                        inv_mass_diag=im1d,
                                        collect_fn=collect)
+    elif inference == "ghmc":
+        from .ghmc import GHMCConfig, run_ghmc
+        gcfg = GHMCConfig(num_warmup=num_warmup,
+                          num_samples=num_samples)
+        pot = make_potential_fn(sampled_model, info, args, kwargs)
+        im1d = (inv_mass[0] if (inv_mass is not None
+                                and inv_mass.ndim > 1) else inv_mass)
+        if mesh is not None:
+            from ..parallel import run_ghmc_sharded
+            samples, stats = run_ghmc_sharded(
+                pot, init, k_run, mesh, config=gcfg,
+                inv_mass_diag=im1d, collect_fn=collect)
+        else:
+            samples, stats = run_ghmc(pot, init, k_run, gcfg,
+                                      inv_mass_diag=im1d,
+                                      collect_fn=collect)
     else:
         pot = make_potential_fn(sampled_model, info, args, kwargs)
         if mesh is not None:

@@ -19,7 +19,7 @@ from ..inference import nuts as N
 from .mesh import chain_axes, shard_chains
 
 __all__ = ["run_hmc_sharded", "run_nuts_sharded", "run_chees_sharded",
-           "run_interleaved_sharded"]
+           "run_ghmc_sharded", "run_interleaved_sharded"]
 
 
 def _chain_sharding(mesh, axis):
@@ -99,6 +99,23 @@ def run_chees_sharded(potential_fn: Callable, init_positions, key,
     init = shard_chains(mesh, init_positions, axis=0)
     fn = jax.jit(
         lambda i, k: CH.run_chees(potential_fn, i, k, config, **kwargs),
+        in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
+    )
+    return fn(init, key)
+
+
+def run_ghmc_sharded(potential_fn: Callable, init_positions, key,
+                     mesh: Mesh, config=None, **kwargs):
+    """run_ghmc over the chain mesh.  Fold statistics (ensemble means /
+    variances / power-iteration matvecs) are reductions over the sharded
+    chain axis — XLA lowers them to psums over ICI; the sequential
+    F-fold sweep stays one compiled program."""
+    from ..inference import ghmc as G
+
+    config = config or G.GHMCConfig()
+    init = shard_chains(mesh, init_positions, axis=0)
+    fn = jax.jit(
+        lambda i, k: G.run_ghmc(potential_fn, i, k, config, **kwargs),
         in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
     )
     return fn(init, key)

@@ -239,3 +239,25 @@ def test_hierarchical_dcn_mesh():
     import pytest
     with pytest.raises(ValueError, match="divisible"):
         make_mesh_hierarchical(3)
+
+
+def test_sharded_ghmc_runs_and_matches_local():
+    """run_ghmc over the chain mesh: fold-statistic reductions (ensemble
+    means/variances, power-iteration matvecs) lower to psums over the
+    sharded chain axis; the result must match the local run (same keys,
+    same fold layout — only reduction order differs)."""
+    from autoreparam_tpu.inference.ghmc import GHMCConfig, run_ghmc
+    from autoreparam_tpu.parallel import run_ghmc_sharded
+
+    mesh = make_mesh()
+    C = 32
+    key = jax.random.PRNGKey(5)
+    init = 0.5 * jax.random.normal(key, (C, 2))
+    cfg = GHMCConfig(num_warmup=200, num_samples=300)
+    s_shard, _ = run_ghmc_sharded(quad_pot, init, key, mesh, config=cfg)
+    s_local, _ = run_ghmc(quad_pot, init, key, cfg)
+    assert s_shard.shape == (300, C, 2)
+    np.testing.assert_allclose(np.asarray(s_shard), np.asarray(s_local),
+                               rtol=2e-3, atol=2e-3)
+    flat = np.asarray(s_shard).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.2)
