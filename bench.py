@@ -122,6 +122,22 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
                                     info, spec.args)
             return run_chees(pot, i, k, ccfg, inv_mass_diag=im,
                              collect_fn=make_collect(lam))
+    elif engine == "ghmc":
+        from autoreparam_tpu.inference.ghmc import GHMCConfig, run_ghmc
+
+        # one gradient per step: thin keeps the kept-sample count (and
+        # the (S, C, D) sample memory) equal to the other engines while
+        # matching their per-sample gradient budget (~T leapfrogs)
+        thin = int(os.environ.get("BENCH_GHMC_THIN", 8))
+        gcfg = GHMCConfig(num_warmup=num_warmup * thin,
+                          num_samples=num_samples, thin=thin)
+
+        @jax.jit
+        def run(i, k, lam, im):
+            pot = make_potential_fn(make_vip_model(spec.model, lam),
+                                    info, spec.args)
+            return run_ghmc(pot, i, k, gcfg, inv_mass_diag=im,
+                            collect_fn=make_collect(lam))
     else:
         @jax.jit
         def run(i, k, lam, im):
@@ -181,6 +197,11 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
                  "mean_leapfrog_per_sample": float(np.asarray(
                      stats["num_grad_evals_per_sample"])),
                  "criterion": ccfg.criterion}
+    elif engine == "ghmc":
+        extra = {"mean_leapfrog_per_sample": float(np.asarray(
+                     stats["num_grad_evals_per_sample"])),
+                 "ghmc_step_size_mean": float(np.asarray(
+                     stats["step_size"]).mean())}
     return {
         "engine": engine,
         **extra,
