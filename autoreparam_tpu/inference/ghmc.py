@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from . import hmc as H
 
-__all__ = ["GHMCConfig", "run_ghmc", "ghmc_kernel"]
+__all__ = ["GHMCConfig", "run_ghmc", "sample_ghmc", "ghmc_kernel"]
 
 
 class GHMCConfig(NamedTuple):
@@ -182,6 +182,77 @@ def _one_fold_stats(z, grad, adapt: _FoldAdapt, src: int,
     return new_adapt, (eps, noise, sig)
 
 
+def _make_sweep(kern, config: GHMCConfig, C: int, D: int):
+    """Build one full fold sweep: (state, adapt), key -> ((state,
+    adapt), info).
+
+    SEQUENTIAL fold sweep (emcee-style red-black generalized to F
+    folds): fold f's hyperparameters come from fold f−1's CURRENT
+    state, and folds move one at a time — simultaneous updates with
+    cross-dependent parameters are the classic ensemble-MCMC
+    detailed-balance pitfall.  F is static, so this unrolls into one
+    compiled program; each fold's kernel is still a (C/F)-wide batch.
+    """
+    F = config.num_folds
+    N = C // F
+
+    def one(carry, key):
+        state, adapt = carry
+        keys = jax.random.split(key, F)
+        parts = jax.tree.map(
+            lambda a: a.reshape((F, N) + a.shape[1:]), state)
+        infos = []
+        for f in range(F):
+            src = (f - 1) % F
+            sub_src = jax.tree.map(lambda a: a[src], parts)
+            adapt, (eps, noise, sig) = _one_fold_stats(
+                sub_src.z, sub_src.grad, adapt, src, config)
+            sub = jax.tree.map(lambda a: a[f], parts)
+            sub, info = kern(sub, keys[f],
+                             jnp.broadcast_to(eps, (N,)),
+                             jnp.broadcast_to(noise, (N,)),
+                             jnp.broadcast_to(sig, (N, D)))
+            parts = jax.tree.map(lambda a, s: a.at[f].set(s), parts, sub)
+            infos.append(info)
+        state = jax.tree.map(lambda a: a.reshape((C,) + a.shape[2:]),
+                             parts)
+        info = jax.tree.map(
+            lambda *xs: jnp.stack(xs).reshape((C,) + xs[0].shape[1:]),
+            *infos)
+        return (state, adapt), info
+
+    return one
+
+
+def sample_ghmc(potential_fn: Callable, state: GHMCState,
+                adapt: _FoldAdapt, key, num_samples: int,
+                config: GHMCConfig = GHMCConfig(),
+                collect_fn: Optional[Callable] = None):
+    """Continue sampling from an existing (state, adapt) — the
+    checkpoint/resume entry point (utils/checkpoint.ResumableGHMC).
+    Returns (samples, state, adapt, infos)."""
+    C, D = state.z.shape
+    kern = ghmc_kernel(potential_fn, config.divergence_threshold)
+    one = _make_sweep(kern, config, C, D)
+    if collect_fn is None:
+        collect_fn = lambda z: z  # noqa: E731
+
+    def sample_step(carry, key):
+        keys = jax.random.split(key, config.thin)
+        carry, infos = jax.lax.scan(one, carry, keys)
+        info = jax.tree.map(lambda x: x[-1], infos)
+        out = (jax.vmap(collect_fn)(carry[0].z), info.accept_prob,
+               info.is_divergent, info.step_size)
+        return carry, out
+
+    (state, adapt), (samples, accept, div, step_sizes) = jax.lax.scan(
+        sample_step, (state, adapt),
+        jax.random.split(key, num_samples))
+    return samples, state, adapt, {"accept_prob": accept,
+                                   "divergences": div,
+                                   "step_size": step_sizes}
+
+
 def run_ghmc(potential_fn: Callable,
              init_positions: jnp.ndarray,   # (C, D)
              key,
@@ -225,37 +296,7 @@ def run_ghmc(potential_fn: Callable,
                         lam_z=jnp.ones((F,), dtype),
                         var=var0)
 
-    def one(carry, key):
-        # SEQUENTIAL fold sweep (emcee-style red-black generalized to F
-        # folds): fold f's hyperparameters come from fold f−1's CURRENT
-        # state, and folds move one at a time — simultaneous updates
-        # with cross-dependent parameters are the classic ensemble-MCMC
-        # detailed-balance pitfall.  F is static, so this unrolls into
-        # one compiled program; each fold's kernel is still a (C/F)-wide
-        # batch.
-        state, adapt = carry
-        keys = jax.random.split(key, F)
-        parts = jax.tree.map(
-            lambda a: a.reshape((F, N) + a.shape[1:]), state)
-        infos = []
-        for f in range(F):
-            src = (f - 1) % F
-            sub_src = jax.tree.map(lambda a: a[src], parts)
-            adapt, (eps, noise, sig) = _one_fold_stats(
-                sub_src.z, sub_src.grad, adapt, src, config)
-            sub = jax.tree.map(lambda a: a[f], parts)
-            sub, info = kern(sub, keys[f],
-                             jnp.broadcast_to(eps, (N,)),
-                             jnp.broadcast_to(noise, (N,)),
-                             jnp.broadcast_to(sig, (N, D)))
-            parts = jax.tree.map(lambda a, s: a.at[f].set(s), parts, sub)
-            infos.append(info)
-        state = jax.tree.map(lambda a: a.reshape((C,) + a.shape[2:]),
-                             parts)
-        info = jax.tree.map(
-            lambda *xs: jnp.stack(xs).reshape((C,) + xs[0].shape[1:]),
-            *infos)
-        return (state, adapt), info
+    one = _make_sweep(kern, config, C, D)
 
     n_w = config.num_warmup
     key, k_warm, k_samp = jax.random.split(key, 3)
@@ -267,34 +308,23 @@ def run_ghmc(potential_fn: Callable,
     else:
         warm_accept = jnp.zeros((0, C), dtype)
 
-    if collect_fn is None:
-        collect_fn = lambda z: z  # noqa: E731
+    state_w, adapt_w = carry
+    samples, state_final, adapt_final, sinfo = sample_ghmc(
+        potential_fn, state_w, adapt_w, k_samp, config.num_samples,
+        config, collect_fn=collect_fn)
 
-    def sample_step(carry, key):
-        def thin_body(c, k):
-            return one(c, k)
-        keys = jax.random.split(key, config.thin)
-        carry, infos = jax.lax.scan(thin_body, carry, keys)
-        info = jax.tree.map(lambda x: x[-1], infos)
-        state = carry[0]
-        out = (jax.vmap(collect_fn)(state.z), info.accept_prob,
-               info.is_divergent, info.step_size)
-        return carry, out
-
-    carry, (samples, accept_probs, divergences, step_sizes) = \
-        jax.lax.scan(sample_step, carry,
-                     jax.random.split(k_samp, config.num_samples))
-    state_final, adapt_final = carry
-
+    S = config.num_samples
     stats = {
-        "step_size": step_sizes[-1],             # (C,)
+        "step_size": (sinfo["step_size"][-1] if S > 0
+                      else jnp.zeros((C,), dtype)),
         "inv_mass_diag": jnp.broadcast_to(
             adapt_final.var[:, None, :], (F, N, D)).reshape(C, D),
-        "warmup_accept_prob": warm_accept,       # (W, C)
-        "accept_prob": accept_probs,             # (S, C)
-        "divergences": divergences,              # (S, C)
+        "warmup_accept_prob": warm_accept,              # (W, C)
+        "accept_prob": sinfo["accept_prob"],            # (S, C)
+        "divergences": sinfo["divergences"],            # (S, C)
         "final_state": state_final,
-        "damping": adapt_final.lam_z,            # (F,) diagnostics
+        "final_adapt": adapt_final,
+        "damping": adapt_final.lam_z,                   # (F,) diagnostics
         "num_grad_evals_per_sample": config.thin,
     }
     return samples, stats

@@ -8,10 +8,10 @@ preempted TPU VM resumes mid-run without redoing warmup.
 Pattern (all engines): warmup once → sample in chunks of `chunk_size`
 → orbax-save state + append samples (.npy per chunk) after each chunk.
 `run()` restores the newest checkpoint if one exists and continues.
-Engines: `ResumableHMC`, `ResumableNUTS`, `ResumableChEES` — NUTS and
-ChEES are the configurations that actually run long at 8192 chains
-(BASELINE config #5 / the bench pipeline), so preemption cover there
-matters most.
+Engines: `ResumableHMC`, `ResumableNUTS`, `ResumableChEES`,
+`ResumableGHMC` — NUTS/ChEES/GHMC are the configurations that actually
+run long at 8192 chains (BASELINE config #5 / the bench pipeline), so
+preemption cover there matters most.
 """
 
 from __future__ import annotations
@@ -25,7 +25,8 @@ import numpy as np
 
 from ..inference import hmc as H
 
-__all__ = ["ResumableHMC", "ResumableNUTS", "ResumableChEES"]
+__all__ = ["ResumableHMC", "ResumableNUTS", "ResumableChEES",
+           "ResumableGHMC"]
 
 
 class _ResumableSampler:
@@ -261,3 +262,60 @@ class ResumableChEES(_ResumableSampler):
             state["step_size"], state["traj_length"],
             state["inv_mass"], hu)
         return samples, dict(state, z=z, pot=pot, grad=grad)
+
+
+class ResumableGHMC(_ResumableSampler):
+    """Chunked generalized HMC with orbax checkpoints between chunks.
+
+    GHMC adapts CONTINUOUSLY (fold-wise MEADS scheme, inference/ghmc),
+    so the checkpoint persists the adaptation state (per-fold streaming
+    variances + power-iteration vectors/eigenvalues) alongside the
+    phase-space state — a resumed run continues the same adaptation
+    trajectory an uninterrupted run would have followed.
+    """
+
+    def __init__(self, potential_fn: Callable, config, ckpt_dir: str,
+                 chunk_size: int = 200, inv_mass_diag=None):
+        super().__init__(ckpt_dir, chunk_size)
+        from ..inference import ghmc as G
+
+        self.potential_fn = potential_fn
+        self.config = config
+        self.inv_mass_diag = inv_mass_diag
+        self._G = G
+        self._sample_jit = jax.jit(
+            lambda st, ad, k: G.sample_ghmc(
+                self.potential_fn, st, ad, k, self.chunk_size,
+                self.config))
+
+    def _template(self, C, D):
+        F = self.config.num_folds
+        return dict(
+            z=jnp.zeros((C, D)), r=jnp.zeros((C, D)),
+            pot=jnp.zeros((C,)), grad=jnp.zeros((C, D)),
+            v_g=jnp.zeros((F, D)), v_z=jnp.zeros((F, D)),
+            lam_g=jnp.zeros((F,)), lam_z=jnp.zeros((F,)),
+            var=jnp.zeros((F, D)), key=jax.random.PRNGKey(0),
+            chunks_done=jnp.zeros((), jnp.int32))
+
+    def _warmup(self, init_positions, key):
+        cfg = self.config._replace(num_samples=0)
+        _, stats = self._G.run_ghmc(
+            self.potential_fn, init_positions, key, cfg,
+            inv_mass_diag=self.inv_mass_diag)
+        st, ad = stats["final_state"], stats["final_adapt"]
+        return dict(z=st.z, r=st.r, pot=st.pot, grad=st.grad,
+                    v_g=ad.v_g, v_z=ad.v_z, lam_g=ad.lam_g,
+                    lam_z=ad.lam_z, var=ad.var)
+
+    def _sample_chunk(self, state, key, start):
+        from ..inference.ghmc import GHMCState, _FoldAdapt
+
+        st = GHMCState(state["z"], state["r"], state["pot"],
+                       state["grad"])
+        ad = _FoldAdapt(state["v_g"], state["v_z"], state["lam_g"],
+                        state["lam_z"], state["var"])
+        samples, st, ad, _ = self._sample_jit(st, ad, key)
+        return samples, dict(state, z=st.z, r=st.r, pot=st.pot,
+                             grad=st.grad, v_g=ad.v_g, v_z=ad.v_z,
+                             lam_g=ad.lam_g, lam_z=ad.lam_z, var=ad.var)

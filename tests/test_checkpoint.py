@@ -100,3 +100,33 @@ def test_resumable_chees_completes_and_resumes(tmp_path):
     np.testing.assert_array_equal(s_res, s_full)
     flat = s_res.reshape(-1, D)
     np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.25)
+
+
+def test_resumable_ghmc_completes_and_resumes(tmp_path):
+    """Interrupted + resumed GHMC reproduces the uninterrupted run,
+    INCLUDING the continuously-adapting fold state (persisted per
+    chunk)."""
+    import jax.numpy as jnp
+
+    from autoreparam_tpu.inference.ghmc import GHMCConfig
+    from autoreparam_tpu.utils.checkpoint import ResumableGHMC
+
+    def pot(z):
+        return 0.5 * jnp.sum(z ** 2)
+
+    C, D, S = 16, 3, 150
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (C, D))
+    cfg = GHMCConfig(num_warmup=100, num_samples=0)
+    d1, d2 = str(tmp_path / "full"), str(tmp_path / "part")
+
+    s_full = ResumableGHMC(pot, cfg, d1, chunk_size=50).run(
+        init, key, num_samples=S)
+    # interrupted after the first chunk, then resumed to completion
+    s_part = ResumableGHMC(pot, cfg, d2, chunk_size=50).run(
+        init, key, num_samples=50)
+    s_res = ResumableGHMC(pot, cfg, d2, chunk_size=50).run(
+        init, key, num_samples=S)
+    assert s_full.shape == (S, C, D)
+    np.testing.assert_allclose(s_res, s_full, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s_part, s_full[:50], rtol=1e-5, atol=1e-6)
