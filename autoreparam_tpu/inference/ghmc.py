@@ -161,6 +161,17 @@ def _one_fold_stats(z, grad, adapt: _FoldAdapt, src: int,
         lam = jnp.linalg.norm(u)
         return lam, u / (lam + 1e-20)
 
+    # NOTE: deliberately NOT winsorized.  One badly-placed chain (a
+    # wide-prior NCP start, |grad| ~ 1e5 measured on eight_schools)
+    # does own λ̂_max and pushes the dependent fold's ε to ~1e-5 — but
+    # capping gradient rows here measurably costs healthy targets
+    # (radon cVIP 3-seed median 2058 uncapped vs 1159-1513 ess/grad
+    # with 3-10x-median caps, and a 3x cap itself produced an R-hat
+    # 1.34 seed).  The pathology is instead healed where it arises:
+    # the warmup backoff multiplier (see _make_sweep) lets healthy
+    # chains in a poisoned fold ramp their own ε back up while the bad
+    # chain crawls down its gradient — after which this estimator's
+    # EMA recovers on its own.
     gp = (grad - jnp.mean(grad, axis=0, keepdims=True)) * sig
     xp = zc / sig
     lam_g_now, v_g = top_eig(gp, adapt.v_g[src])
@@ -182,9 +193,10 @@ def _one_fold_stats(z, grad, adapt: _FoldAdapt, src: int,
     return new_adapt, (eps, noise, sig)
 
 
-def _make_sweep(kern, config: GHMCConfig, C: int, D: int):
-    """Build one full fold sweep: (state, adapt), key -> ((state,
-    adapt), info).
+def _make_sweep(kern, config: GHMCConfig, C: int, D: int,
+                backoff: bool = False):
+    """Build one full fold sweep: (state, adapt[, mult]), key ->
+    ((state, adapt[, mult]), info).
 
     SEQUENTIAL fold sweep (emcee-style red-black generalized to F
     folds): fold f's hyperparameters come from fold f−1's CURRENT
@@ -192,12 +204,23 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int):
     cross-dependent parameters are the classic ensemble-MCMC
     detailed-balance pitfall.  F is static, so this unrolls into one
     compiled program; each fold's kernel is still a (C/F)-wide batch.
+
+    `backoff=True` (WARMUP ONLY — own-chain feedback breaks exactness,
+    which is fine while samples are discarded) threads a per-chain step
+    multiplier through the carry: a chain that keeps rejecting backs
+    its ε off geometrically until it can move (a badly-initialized
+    wide-prior NCP chain needs ε orders of magnitude below its fold's
+    — measured on eight_schools), and recovers toward 1 as it accepts.
     """
     F = config.num_folds
     N = C // F
 
     def one(carry, key):
-        state, adapt = carry
+        if backoff:
+            state, adapt, mult = carry
+            multp = mult.reshape(F, N)
+        else:
+            state, adapt = carry
         keys = jax.random.split(key, F)
         parts = jax.tree.map(
             lambda a: a.reshape((F, N) + a.shape[1:]), state)
@@ -208,10 +231,21 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int):
             adapt, (eps, noise, sig) = _one_fold_stats(
                 sub_src.z, sub_src.grad, adapt, src, config)
             sub = jax.tree.map(lambda a: a[f], parts)
-            sub, info = kern(sub, keys[f],
-                             jnp.broadcast_to(eps, (N,)),
+            eps_c = jnp.broadcast_to(eps, (N,))
+            if backoff:
+                eps_c = eps_c * multp[f]
+            sub, info = kern(sub, keys[f], eps_c,
                              jnp.broadcast_to(noise, (N,)),
                              jnp.broadcast_to(sig, (N, D)))
+            if backoff:
+                # equilibrates at ~91% acceptance (ln0.9/(ln0.9-ln1.01))
+                # — GHMC wants high acceptance (a rejection flips the
+                # persistent momentum).  Upper range >> 1 lets healthy
+                # chains ESCAPE a fold whose ε was poisoned by one
+                # stuck chain's 1e5 gradient in the λ̂_max estimate.
+                multp = multp.at[f].set(jnp.clip(
+                    multp[f] * jnp.where(info.is_accepted, 1.01, 0.90),
+                    1e-5, 1e4))
             parts = jax.tree.map(lambda a, s: a.at[f].set(s), parts, sub)
             infos.append(info)
         state = jax.tree.map(lambda a: a.reshape((C,) + a.shape[2:]),
@@ -219,6 +253,8 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int):
         info = jax.tree.map(
             lambda *xs: jnp.stack(xs).reshape((C,) + xs[0].shape[1:]),
             *infos)
+        if backoff:
+            return (state, adapt, multp.reshape(C)), info
         return (state, adapt), info
 
     return one
@@ -296,17 +332,27 @@ def run_ghmc(potential_fn: Callable,
                         lam_z=jnp.ones((F,), dtype),
                         var=var0)
 
-    one = _make_sweep(kern, config, C, D)
+    one_warm = _make_sweep(kern, config, C, D, backoff=True)
 
     n_w = config.num_warmup
     key, k_warm, k_samp = jax.random.split(key, 3)
     carry = (state0, adapt0)
     if n_w > 0:
-        carry, warm_info = jax.lax.scan(one, carry,
-                                        jax.random.split(k_warm, n_w))
+        wcarry = (state0, adapt0, jnp.ones((C,), dtype))
+        wcarry, warm_info = jax.lax.scan(one_warm, wcarry,
+                                         jax.random.split(k_warm, n_w))
+        state_w, adapt_w0, _ = wcarry
         warm_accept = warm_info.accept_prob
+        # warmup -> sampling boundary: teleport chains the backoff could
+        # not save (still near-zero acceptance) onto healthy donors —
+        # the same one-time rescue run_hmc applies (hmc.py); from here
+        # on the kernel is exact with mult == 1.
+        state_w, stuck = H.rescue_stuck_chains(
+            state_w, warm_accept, jax.random.fold_in(key, 7))
+        carry = (state_w, adapt_w0)
     else:
         warm_accept = jnp.zeros((0, C), dtype)
+        stuck = jnp.zeros((C,), bool)
 
     state_w, adapt_w = carry
     samples, state_final, adapt_final, sinfo = sample_ghmc(
@@ -325,6 +371,7 @@ def run_ghmc(potential_fn: Callable,
         "final_state": state_final,
         "final_adapt": adapt_final,
         "damping": adapt_final.lam_z,                   # (F,) diagnostics
+        "rescued_chains": stuck,                        # (C,) bool
         "num_grad_evals_per_sample": config.thin,
     }
     return samples, stats
