@@ -20,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
@@ -29,3 +30,21 @@ def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", (
         "tests must run on CPU; got " + jax.default_backend())
     assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles hundreds of distinct XLA programs in one
+    process; at ~60% through, the accumulated jit/LLVM state made the
+    CPU compiler segfault DETERMINISTICALLY on the (large) pooled-NUTS
+    sharded program (test_sharding.py::test_nuts_pooled_step_jitter,
+    jaxlib backend_compile_and_load, 2/2 clean full-suite runs) while
+    every module passes in isolation.  Dropping compiled programs
+    between modules removes the state the crash depends on; tests
+    don't share jitted callables across modules, so the only cost is
+    an occasional recompile.
+    """
+    yield
+    jax.clear_caches()
