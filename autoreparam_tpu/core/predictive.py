@@ -16,7 +16,8 @@ import jax
 from . import handlers
 from .messenger import Messenger, SampleMessage
 
-__all__ = ["Predictive", "prior_predictive"]
+__all__ = ["Predictive", "pointwise_log_likelihood",
+           "prior_predictive"]
 
 
 class _ForceResample(Messenger):
