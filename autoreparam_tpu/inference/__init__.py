@@ -9,4 +9,5 @@ from .pipeline import ExperimentResult, run_experiment
 from .vi import VIResult, discretize_lambda, fit_vi, fit_vip_vi
 from .chees import CheesConfig, run_chees
 from .ghmc import GHMCConfig, run_ghmc, ghmc_kernel
-from .model_compare import LooResult, WaicResult, loo, waic
+from .model_compare import (LooResult, WaicResult, compare, loo,
+                            waic)

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["waic", "loo", "WaicResult", "LooResult"]
+__all__ = ["waic", "loo", "compare", "WaicResult", "LooResult"]
 
 
 class WaicResult(NamedTuple):
@@ -130,3 +130,30 @@ def loo(loglik) -> LooResult:
     return LooResult(elpd=jnp.sum(elpd_i), se=se,
                      p_eff=jnp.sum(lpd - elpd_i),
                      elpd_pointwise=elpd_i, pareto_k=ks)
+
+
+def compare(results: dict) -> list:
+    """Rank models by elpd with PAIRED difference standard errors.
+
+    `results` maps model name -> LooResult/WaicResult (same datapoints
+    for every model).  Returns a list of dicts sorted best-first with
+    `elpd`, `elpd_diff` (vs the best), and `diff_se` — the SE of the
+    POINTWISE difference, which is the statistically meaningful one
+    (the per-model SEs are correlated through the shared data)."""
+    if not results:
+        return []
+    names = sorted(results, key=lambda k: -float(results[k].elpd))
+    best = results[names[0]].elpd_pointwise
+    out = []
+    for name in names:
+        r = results[name]
+        d = best - r.elpd_pointwise
+        n = d.shape[0]
+        out.append({
+            "model": name,
+            "elpd": float(r.elpd),
+            "se": float(r.se),
+            "elpd_diff": float(jnp.sum(d)),
+            "diff_se": float(jnp.sqrt(n * jnp.var(d, ddof=1))),
+        })
+    return out

@@ -113,3 +113,22 @@ def test_gpd_fit_matches_scipy_mle():
         assert abs(float(xi_hat) - xi_true) < 0.12, (xi_true,
                                                      float(xi_hat))
         assert abs(float(sigma_hat) - 1.0) < 0.15, float(sigma_hat)
+
+
+def test_compare_ranks_and_paired_se():
+    """compare() must prefer the true model and report the PAIRED
+    difference SE (the per-model SEs are correlated through shared
+    data, so diff_se << se_a + se_b when models are similar)."""
+    from autoreparam_tpu.inference import compare
+
+    y, _, loglik_good, _, _ = _rig(seed=4)
+    rng = np.random.default_rng(5)
+    # a mis-specified model: fixed mu far from the truth
+    mu_bad = (3.0 + 0.01 * rng.normal(size=S)).astype(np.float32)
+    loglik_bad = (-0.5 * ((y[None, :] - mu_bad[:, None]) / SIGMA) ** 2
+                  - 0.5 * np.log(2 * np.pi * SIGMA ** 2))
+    res = compare({"good": loo(jnp.asarray(loglik_good)),
+                   "bad": loo(jnp.asarray(loglik_bad))})
+    assert [r["model"] for r in res] == ["good", "bad"]
+    assert res[0]["elpd_diff"] == 0.0
+    assert res[1]["elpd_diff"] > 3 * res[1]["diff_se"]  # decisive
