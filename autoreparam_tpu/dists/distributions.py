@@ -69,6 +69,12 @@ class Distribution:
         raise NotImplementedError(
             f"{type(self).__name__} is not a location-scale family")
 
+    def matrix_loc_scale(self):
+        """Return (loc, scale_tril) if this is a matrix location-scale
+        family (correlated over the last axis) eligible for Cholesky
+        non-centering / matrix VIP, else None."""
+        return None
+
     def __repr__(self):
         return type(self).__name__
 
@@ -436,9 +442,11 @@ class MultivariateNormal(Distribution):
     The support is all of R^K (Identity map), so MVN latents need no
     bijector bookkeeping; log_prob reduces the event axis (like
     Dirichlet, batch_shape includes it).  The solve is a triangular
-    matmul — MXU work, not a gather.  Not elementwise location-scale:
-    NCP/VIP rewriting does not apply (loc_scale() stays None); use it
-    for correlated priors whose children are rewritten instead.
+    matmul — MXU work, not a gather.  Not *elementwise* location-scale
+    (loc_scale() stays None), but it exposes `matrix_loc_scale` so the
+    reparam layer can Cholesky-non-center it (ẑ ~ N(0, I), z = μ + Lẑ —
+    the Stan-idiomatic form for correlated random effects) and VIP-
+    interpolate it row-wise (reparam.strategies matrix path).
     """
 
     def __init__(self, loc, scale_tril):
@@ -473,6 +481,9 @@ class MultivariateNormal(Distribution):
             jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
         return (-0.5 * jnp.sum(y * y, axis=-1) - half_logdet
                 - 0.5 * k * _LOG_2PI)
+
+    def matrix_loc_scale(self):
+        return self.loc, self.scale_tril
 
 
 class Categorical(Distribution):

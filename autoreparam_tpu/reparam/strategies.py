@@ -21,6 +21,11 @@ the joint density is taken directly over ẑ.
 LogNormal sites are reparameterised in log-space through their base
 normal (`exp(affine(ẑ))`), which is exactly the structure of the
 reference's `german_credit_lognormalcentered` model (BASELINE config #4).
+
+MultivariateNormal sites take the *matrix* path (beyond the reference,
+which had no correlated priors): NCP is Cholesky non-centering
+(ẑ ~ N(0, I), z = μ + Lẑ) and VIP interpolates the Cholesky factor
+row-wise — see VIP._apply_matrix.
 """
 
 from __future__ import annotations
@@ -45,9 +50,16 @@ def aux_name(name: str) -> str:
 
 def is_eligible(dist) -> bool:
     """A site can be CP/NCP/VIP-rewritten if it is an elementwise
-    location-scale family, directly or through a log transform."""
+    location-scale family (directly or through a log transform) or a
+    matrix location-scale family (MultivariateNormal)."""
     return (getattr(dist, "loc_scale", lambda: None)() is not None
-            or hasattr(dist, "base_loc_scale"))
+            or hasattr(dist, "base_loc_scale")
+            or getattr(dist, "matrix_loc_scale", lambda: None)()
+            is not None)
+
+
+def _matrix_loc_scale(dist):
+    return getattr(dist, "matrix_loc_scale", lambda: None)()
 
 
 def _split_loc_scale(dist):
@@ -92,6 +104,20 @@ class NCP(ReparamStrategy):
     """Non-centered: ẑ ~ F(0,1), z = loc + scale·ẑ."""
 
     def apply(self, name, dist, sample_shape, msg=None):
+        mls = _matrix_loc_scale(dist)
+        if mls is not None:
+            # Cholesky non-centering: ẑ ~ N(0, I), z = loc + L·ẑ (the
+            # Stan-idiomatic rewrite for correlated random effects).
+            loc, L = mls
+            K = jnp.shape(L)[-1]
+            shape = jnp.broadcast_shapes(jnp.shape(loc),
+                                         jnp.shape(L)[:-1])
+            aux = sample(aux_name(name),
+                         d.MultivariateNormal(jnp.zeros(shape),
+                                              jnp.eye(K)),
+                         sample_shape=sample_shape,
+                         _metadata={"aux_of": name, "strategy": "ncp"})
+            return loc + jnp.einsum("...ij,...j->...i", L, aux)
         loc, scale, base, push = _split_loc_scale(dist)
         shape = jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale))
         aux = sample(aux_name(name),
@@ -118,6 +144,9 @@ class VIP(ReparamStrategy):
 
     def apply(self, name, dist, sample_shape, msg=None):
         lam = self.lam
+        mls = _matrix_loc_scale(dist)
+        if mls is not None:
+            return self._apply_matrix(name, mls, sample_shape, lam)
         loc, scale, base, push = _split_loc_scale(dist)
         # σ^λ via exp(λ·logσ): stable for σ>0, one log per site.
         log_scale = jnp.log(scale)
@@ -144,3 +173,47 @@ class VIP(ReparamStrategy):
         if msg is not None and push is jnp.exp:
             msg.metadata["log_value"] = z
         return push(z)
+
+    def _apply_matrix(self, name, mls, sample_shape, lam):
+        """Matrix VIP for MultivariateNormal sites.
+
+        Interpolated Cholesky factor (row-wise λ, broadcastable to the
+        event axis K):
+
+            M_λ = diag(d^λ) + λ∘strictlower(L)      (d = diag(L) > 0)
+            ẑ ~ MVN(λ∘loc, M_λ);   z = loc + L · M_λ⁻¹ (ẑ − λ∘loc)
+
+        λ=1 gives M=L hence z=ẑ (CP exactly); λ=0 gives M=I hence
+        ẑ ~ N(0,I), z = loc + Lẑ (Cholesky NCP exactly).  d^λ > 0 and
+        the λ-scaled strict-lower part keep M_λ a valid Cholesky factor
+        for every λ ∈ [0,1]; the deterministic map is one triangular
+        solve + one triangular matmul (MXU work), differentiable in λ
+        for the joint (q, λ) ELBO (SURVEY.md §4.2)."""
+        from jax.scipy.linalg import solve_triangular
+
+        loc, L = mls
+        L = jnp.asarray(L)
+        K = jnp.shape(L)[-1]
+        eye = jnp.eye(K, dtype=L.dtype)
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)          # (..., K)
+        lam = jnp.asarray(lam)
+        rows = jnp.broadcast_shapes(jnp.shape(lam), (K,))
+        if rows[-1] != K:
+            raise ValueError(
+                f"matrix-VIP site {name!r}: lambda shape "
+                f"{jnp.shape(lam)} does not broadcast against the "
+                f"event axis ({K},)")
+        lam_row = jnp.broadcast_to(lam, rows)               # (..., K)
+        M = (L * (1.0 - eye) * lam_row[..., :, None]
+             + eye * (diag ** lam_row)[..., :, None])
+        aux = sample(aux_name(name),
+                     d.MultivariateNormal(lam * loc, M),
+                     sample_shape=sample_shape,
+                     _metadata={"aux_of": name, "strategy": "vip"})
+        dev = aux - lam * loc
+        batch = jnp.broadcast_shapes(jnp.shape(dev)[:-1],
+                                     jnp.shape(M)[:-2])
+        Mb = jnp.broadcast_to(M, batch + M.shape[-2:])
+        devb = jnp.broadcast_to(dev, batch + dev.shape[-1:])
+        y = solve_triangular(Mb, devb[..., None], lower=True)[..., 0]
+        return loc + jnp.einsum("...ij,...j->...i", L, y)
