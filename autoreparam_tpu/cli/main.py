@@ -42,6 +42,9 @@ flags.DEFINE_float("target_accept", 0.75, "dual-averaging target")
 flags.DEFINE_integer("seed", 0, "PRNG seed")
 flags.DEFINE_string("results_dir", "./results", "output directory")
 flags.DEFINE_bool("save_samples", False, "also save raw samples (.npz)")
+flags.DEFINE_bool("print_summary", False,
+                  "print the per-variable posterior table (mean/MCSE/sd/"
+                  "CI/bulk+tail ESS/rank-normalized R-hat)")
 flags.DEFINE_bool("shard", False, "shard chains over all local devices")
 flags.DEFINE_enum("share_adaptation", "auto",
                   ["auto", "all", "mass", "none"],
@@ -130,6 +133,9 @@ def _run_one(spec, num_leapfrog):
         if "lambda" in s:
             for k, v in s["lambda"].items():
                 logging.info("lambda[%s] = %s", k, v)
+        if FLAGS.print_summary:
+            from autoreparam_tpu.inference import result_summary
+            result_summary(res, to_print=True)
     path = save_result(FLAGS.results_dir, s,
                        samples=res.samples if FLAGS.save_samples else None)
     logging.info("wrote %s", path)

@@ -19,12 +19,15 @@ Implementation notes (all pure jnp, jit/vmap-safe):
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["autocovariance", "effective_sample_size", "ess_from_moments",
-           "potential_scale_reduction", "ess_per_grad", "summarize"]
+           "potential_scale_reduction", "ess_per_grad", "summarize",
+           "rank_normalize", "rhat_rank", "ess_bulk", "ess_tail",
+           "summary_table", "format_summary"]
 
 
 def autocovariance(x, axis: int = 0, max_lags: int = None):
@@ -222,3 +225,126 @@ def summarize(samples):
         "ess": effective_sample_size(samples),
         "rhat": potential_scale_reduction(samples),
     }
+
+
+# -- rank-normalized diagnostics (Vehtari, Gelman, Simpson, Carpenter,
+#    Bürkner 2021, "Rank-normalization, folding, and localization") ----
+
+
+def rank_normalize(samples):
+    """Fractional-offset rank-normal transform, pooled over (S, C) per
+    dimension: z = Φ⁻¹((rank − 3/8) / (N + 1/4)).
+
+    Ordinal ranks (argsort of argsort) — MCMC float draws tie with
+    probability ~0, so average-rank tie handling is not implemented.
+    Makes the classical R-hat/ESS machinery robust to heavy tails and
+    non-Gaussian margins (they then measure rank mixing, which always
+    has finite moments).
+    """
+    S, C = samples.shape[0], samples.shape[1]
+    N = S * C
+    flat = samples.reshape((N,) + samples.shape[2:])
+    ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0)
+    u = (ranks + 1.0 - 0.375) / (N + 0.25)
+    z = jax.scipy.special.ndtri(u.astype(flat.dtype))
+    return z.reshape(samples.shape)
+
+
+def rhat_rank(samples):
+    """Rank-normalized split-R-hat: max over the bulk transform and the
+    folded (|x − median|) transform — the folded half detects chains
+    agreeing in location but not in scale.  The recommended modern
+    convergence bar is rhat_rank < 1.01."""
+    bulk = potential_scale_reduction(rank_normalize(samples))
+    flat = samples.reshape((-1,) + samples.shape[2:])
+    folded = jnp.abs(samples - jnp.median(flat, axis=0))
+    fold = potential_scale_reduction(rank_normalize(folded))
+    return jnp.maximum(bulk, fold)
+
+
+def ess_bulk(samples, **kwargs):
+    """Bulk-ESS: classical cross-chain ESS of the rank-normalized
+    draws — mixing of the distribution's body, finite-moment-free."""
+    return effective_sample_size(rank_normalize(samples), **kwargs)
+
+
+def ess_tail(samples, prob: float = 0.05, **kwargs):
+    """Tail-ESS: the minimum of the ESS of the two tail-indicator
+    series I(x ≤ q_prob) and I(x ≤ q_{1−prob}) — how well the chains
+    resolve the tails (credible-interval endpoints converge at this
+    rate, not at the bulk rate)."""
+    flat = samples.reshape((-1,) + samples.shape[2:])
+    q_lo = jnp.quantile(flat, prob, axis=0)
+    q_hi = jnp.quantile(flat, 1.0 - prob, axis=0)
+    dtype = samples.dtype
+    e_lo = effective_sample_size(
+        (samples <= q_lo).astype(dtype), **kwargs)
+    e_hi = effective_sample_size(
+        (samples <= q_hi).astype(dtype), **kwargs)
+    return jnp.minimum(e_lo, e_hi)
+
+
+def summary_table(samples, names=None, ci_prob: float = 0.9,
+                  num_grads: Optional[float] = None):
+    """Per-variable summary rows for (S, C, D) samples (Stan `stansummary`
+    / posterior-package style): mean, MCSE, sd, equal-tailed credible
+    interval, bulk/tail ESS, rank-normalized R-hat.
+
+    `names` labels the D columns (defaults to dim{i}); `num_grads`
+    (total gradient evaluations) adds the paper's ess/1000-grad column.
+    Returns a list of dict rows (JSON-ready); `format_summary` renders
+    them as an aligned text table.
+    """
+    import numpy as np
+
+    S, C, D = samples.shape
+    flat = np.asarray(samples.reshape(S * C, D))
+    lo_p, hi_p = (1.0 - ci_prob) / 2.0, 1.0 - (1.0 - ci_prob) / 2.0
+    mean = flat.mean(0)
+    sd = flat.std(0)
+    q_lo = np.quantile(flat, lo_p, axis=0)
+    q_hi = np.quantile(flat, hi_p, axis=0)
+    bulk = np.asarray(ess_bulk(samples))
+    tail = np.asarray(ess_tail(samples))
+    rhat = np.asarray(rhat_rank(samples))
+    mcse = sd / np.sqrt(np.maximum(bulk, 1.0))
+    if names is None:
+        names = [f"dim{i}" for i in range(D)]
+    rows = []
+    for i in range(D):
+        row = {
+            "name": str(names[i]),
+            "mean": float(mean[i]), "mcse_mean": float(mcse[i]),
+            "sd": float(sd[i]),
+            f"q{lo_p * 100:g}": float(q_lo[i]),
+            f"q{hi_p * 100:g}": float(q_hi[i]),
+            "ess_bulk": float(bulk[i]), "ess_tail": float(tail[i]),
+            "rhat": float(rhat[i]),
+        }
+        if num_grads:
+            row["ess_per_kgrad"] = float(bulk[i] * 1000.0 / num_grads)
+        rows.append(row)
+    return rows
+
+
+def format_summary(rows) -> str:
+    """Render `summary_table` rows as an aligned text table."""
+    if not rows:
+        return "(no variables)"
+    cols = list(rows[0].keys())
+
+    def fmt(v):
+        if isinstance(v, str):
+            return v
+        if abs(v) >= 1e4 or (v != 0 and abs(v) < 1e-3):
+            return f"{v:.2e}"
+        return f"{v:.3f}" if abs(v) < 100 else f"{v:.1f}"
+
+    table = [[fmt(r[c]) for c in cols] for r in rows]
+    widths = [max(len(c), *(len(t[j]) for t in table))
+              for j, c in enumerate(cols)]
+    lines = ["  ".join(c.ljust(w) for c, w in zip(cols, widths))]
+    for t in table:
+        lines.append("  ".join(v.rjust(w) if i else v.ljust(w)
+                               for i, (v, w) in enumerate(zip(t, widths))))
+    return "\n".join(lines)

@@ -343,15 +343,7 @@ def run_experiment(spec: ModelSpec,
 
     # Flatten dict-of-sites samples to one (S, C, Dtot) array + names.
     if isinstance(samples, dict):
-        S_, C_ = next(iter(samples.values())).shape[:2]
-        parts, names = [], []
-        for name, v in samples.items():
-            flatv = v.reshape(S_, C_, -1)
-            parts.append(flatv)
-            n = flatv.shape[-1]
-            names.extend([name] if n == 1 else
-                         [f"{name}[{i}]" for i in range(n)])
-        sample_array = jnp.concatenate(parts, axis=-1)
+        sample_array, names = flatten_site_samples(samples)
     else:
         sample_array = samples
         names = []
@@ -430,3 +422,53 @@ def run_experiment(spec: ModelSpec,
             vi_res.elbo_trace)[-100:].mean())
     return ExperimentResult(samples, stats, summary, vi_res, lam, info,
                             sampled_model)
+
+
+def flatten_site_samples(samples: dict):
+    """Flatten a dict of per-site (S, C, ...) sample arrays to one
+    (S, C, Dtot) array plus per-column names (`theta[3]`-style)."""
+    S_, C_ = next(iter(samples.values())).shape[:2]
+    parts, names = [], []
+    for name, v in samples.items():
+        flatv = v.reshape(S_, C_, -1)
+        parts.append(flatv)
+        n = flatv.shape[-1]
+        names.extend([name] if n == 1 else
+                     [f"{name}[{i}]" for i in range(n)])
+    return jnp.concatenate(parts, axis=-1), names
+
+
+def result_summary(res: ExperimentResult, ci_prob: float = 0.9,
+                   to_print: bool = False):
+    """Per-variable posterior table for an ExperimentResult: mean, MCSE,
+    sd, equal-tailed CI, bulk/tail ESS, rank-normalized R-hat (Vehtari
+    et al. 2021), plus the paper's ess/1000-grad on the bulk ESS.
+
+    Returns the list of rows (`diagnostics.summary_table`); with
+    `to_print=True` also prints the aligned table.  Variables are the
+    model-space coordinates the run collected (log-space scale names per
+    `recover_fn`'s log_readout discipline).
+    """
+    from . import diagnostics as dg
+
+    if res.samples is None:
+        raise ValueError("result has no samples (VI-only run)")
+    if isinstance(res.samples, dict):
+        sample_array, names = flatten_site_samples(res.samples)
+    else:
+        sample_array = res.samples
+        names = res.summary.get("param_names")
+    num_grads = None
+    gps = res.stats.get("num_grad_evals_per_sample")
+    if gps is not None:
+        import numpy as _np
+        num_grads = (float(_np.asarray(gps))
+                     * res.summary["num_samples"])
+    elif res.summary.get("num_leapfrog_steps"):
+        num_grads = (res.summary["num_samples"]
+                     * res.summary["num_leapfrog_steps"])
+    rows = dg.summary_table(sample_array, names=names,
+                            ci_prob=ci_prob, num_grads=num_grads)
+    if to_print:
+        print(dg.format_summary(rows))
+    return rows

@@ -89,3 +89,90 @@ def test_direct_lag_ess_matches_fft():
     # chunked FFT path agrees too
     chunked = np.asarray(dg.effective_sample_size(xj, chain_chunk=4))
     np.testing.assert_allclose(chunked, exact, rtol=1e-4)
+
+
+# -- rank-normalized diagnostics (Vehtari et al. 2021) -----------------
+
+
+def test_rank_normalize_standardizes_and_is_monotone():
+    key = jax.random.PRNGKey(3)
+    # heavy-tailed input: Cauchy draws
+    x = jax.random.cauchy(key, (500, 4, 2))
+    z = np.asarray(dg.rank_normalize(x))
+    flat = z.reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=0.02)
+    np.testing.assert_allclose(flat.std(0), 1.0, atol=0.05)
+    # monotone: ordering preserved per dimension
+    xf = np.asarray(x).reshape(-1, 2)
+    for d in range(2):
+        order = np.argsort(xf[:, d])
+        assert np.all(np.diff(flat[order, d]) >= 0)
+
+
+def test_rhat_rank_folded_detects_scale_mismatch():
+    """Chains with equal means but different variances: classical split
+    R-hat is blind (between-chain mean variance ~ 0), the folded half of
+    rank-R-hat is not."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1000, 4, 1))
+    x[:, 0] *= 3.0  # same mean, 3x the scale
+    xj = jnp.asarray(x, jnp.float32)
+    classical = float(dg.potential_scale_reduction(xj)[0])
+    ranked = float(dg.rhat_rank(xj)[0])
+    assert classical < 1.05          # blind
+    assert ranked > 1.15             # caught by folding
+    # and well-mixed chains stay ~1
+    good = jnp.asarray(rng.normal(size=(1000, 4, 1)), jnp.float32)
+    assert float(dg.rhat_rank(good)[0]) < 1.01
+
+
+def test_ess_bulk_tail_iid():
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (2000, 4, 2))
+    n = 2000 * 4
+    bulk = np.asarray(dg.ess_bulk(x))
+    tail = np.asarray(dg.ess_tail(x))
+    assert np.all(bulk > 0.6 * n) and np.all(bulk < 1.4 * n)
+    assert np.all(tail > 0.4 * n) and np.all(tail < 1.6 * n)
+
+
+def test_ess_bulk_robust_to_heavy_tails():
+    """Cauchy margins have no moments; bulk-ESS (rank space) must still
+    report ~N for iid draws."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.cauchy(key, (2000, 4, 1))
+    bulk = float(dg.ess_bulk(x)[0])
+    n = 2000 * 4
+    assert 0.5 * n < bulk < 1.5 * n
+
+
+def test_summary_table_and_format():
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (400, 4, 3)) * jnp.asarray([1., 2., 3.])
+    rows = dg.summary_table(x, names=["a", "b[0]", "b[1]"],
+                            num_grads=400 * 16)
+    assert [r["name"] for r in rows] == ["a", "b[0]", "b[1]"]
+    for r in rows:
+        assert r["rhat"] < 1.02
+        assert r["ess_bulk"] > 500 and r["ess_tail"] > 300
+        assert "q5" in r and "q95" in r and r["q5"] < r["q95"]
+        assert np.isfinite(r["mcse_mean"]) and r["mcse_mean"] > 0
+        assert r["ess_per_kgrad"] > 0
+    np.testing.assert_allclose(rows[1]["sd"], 2.0, rtol=0.1)
+    txt = dg.format_summary(rows)
+    assert "ess_bulk" in txt and "b[1]" in txt
+    assert len(txt.splitlines()) == 4
+
+
+def test_result_summary_end_to_end():
+    from autoreparam_tpu.inference import result_summary, run_experiment
+    from autoreparam_tpu.models import get_model
+
+    res = run_experiment(get_model("eight_schools"), method="ncp",
+                         inference="hmc", num_chains=8, num_warmup=150,
+                         num_samples=150, num_leapfrog_steps=8, seed=0)
+    rows = result_summary(res)
+    names = {r["name"] for r in rows}
+    assert "mu" in names and "theta[0]" in names
+    assert all(np.isfinite(r["rhat"]) for r in rows)
+    assert all(r["ess_per_kgrad"] > 0 for r in rows)
