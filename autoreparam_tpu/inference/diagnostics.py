@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["autocovariance", "effective_sample_size", "ess_from_moments",
-           "potential_scale_reduction", "ess_per_grad", "summarize",
-           "rank_normalize", "rhat_rank", "ess_bulk", "ess_tail",
-           "summary_table", "format_summary"]
+           "potential_scale_reduction", "nested_rhat", "ess_per_grad",
+           "summarize", "rank_normalize", "rhat_rank", "ess_bulk",
+           "ess_tail", "summary_table", "format_summary"]
 
 
 def autocovariance(x, axis: int = 0, max_lags: int = None):
@@ -103,6 +103,54 @@ def potential_scale_reduction(samples):
     B = n * jnp.var(chain_mean, axis=0, ddof=1)       # (...)
     var_hat = (n - 1) / n * W + B / n
     return jnp.sqrt(var_hat / W)
+
+
+def nested_rhat(samples, num_superchains: int):
+    """Nested R-hat (Margossian, Hoffman, Sountsov, Riou-Durand, Vehtari,
+    Gelman 2024, "Nested R-hat: assessing the convergence of Markov chain
+    Monte Carlo when running many short chains").
+
+    Split R-hat needs each chain to be long enough to estimate its own
+    variance; at this framework's operating point (thousands of vmapped
+    chains, comparatively few kept samples — SURVEY.md §3.3 "chain
+    parallelism is the DP axis") that assumption is the weak link.
+    Nested R-hat groups the C chains into K superchains of M = C/K
+    chains and compares between-SUPERCHAIN variance against the total
+    within-superchain variance, which pools M chains' draws — it stays
+    well-defined and sharp even at a single kept draw per chain (S = 1,
+    M >= 2).
+
+    `samples`: (S, C, ...) -> (...).  Chains are grouped into contiguous
+    blocks along the chain axis; if superchains share an initialization
+    (the paper's design), lay chains out so each block is one init
+    group.  With iid inits (this framework's q*-init default) nested
+    R-hat is a lower-noise grouped R-hat and the grouping is arbitrary.
+
+    All variance estimators use biased (1/n) divisors per the paper, so
+    nR-hat >= 1 by construction; the recommended bar is tighter than
+    split R-hat's (e.g. 1.01, and ~1 + B/(M*S) for bias B of the same
+    size as the target's noise floor).
+    """
+    S, C = samples.shape[0], samples.shape[1]
+    K = int(num_superchains)
+    if C % K != 0:
+        raise ValueError(f"num_superchains={K} must divide C={C}")
+    M = C // K
+    if S == 1 and M == 1:
+        raise ValueError("nested_rhat needs S >= 2 or M >= 2 (a single "
+                         "draw per superchain has no within variance)")
+    x = samples.reshape((S, K, M) + samples.shape[2:])
+    chain_mean = jnp.mean(x, axis=0)                       # (K, M, ...)
+    chain_var = jnp.var(x, axis=0)                         # biased; 0 at S=1
+    super_mean = jnp.mean(chain_mean, axis=1)              # (K, ...)
+    grand = jnp.mean(super_mean, axis=0)                   # (...)
+    B_nu = jnp.mean((super_mean - grand) ** 2, axis=0)     # between super
+    B_w = jnp.mean((chain_mean - super_mean[:, None]) ** 2,
+                   axis=(0, 1))                            # between chains
+    W_w = jnp.mean(chain_var, axis=(0, 1))                 # within chains
+    W_nu = B_w + W_w
+    tiny = jnp.finfo(samples.dtype).tiny
+    return jnp.sqrt(1.0 + B_nu / jnp.maximum(W_nu, tiny))
 
 
 def ess_from_moments(mean_acov, W, B_over_n, S: int, C: int):

@@ -20,6 +20,7 @@ from .mesh import CHAIN_AXIS, chain_axes
 
 __all__ = ["sharded_effective_sample_size",
            "sharded_potential_scale_reduction",
+           "sharded_nested_rhat",
            "sharded_mean"]
 
 
@@ -91,6 +92,53 @@ def sharded_potential_scale_reduction(samples, mesh: Mesh):
     B = half * sum_c2 / (m - 1.0)
     var_hat = (half - 1.0) / half * W + B / half
     return jnp.sqrt(var_hat / W)
+
+
+def sharded_nested_rhat(samples, mesh: Mesh, superchains_per_device: int = 1):
+    """Nested R-hat (diagnostics.nested_rhat) with chains sharded on
+    axis 1 of (S, C, ...).
+
+    Superchains align with the sharding: each device's chain block is
+    split into `superchains_per_device` contiguous superchains, so the
+    within-superchain moments are device-local and only three pooled
+    (...)-shaped moments cross ICI — samples never leave their device.
+    K = n_devices * superchains_per_device total superchains.
+    """
+    S, C = samples.shape[0], samples.shape[1]
+    n_dev = mesh.size
+    kpd = int(superchains_per_device)
+    K = n_dev * kpd
+    if C % K != 0:
+        raise ValueError(f"K={K} superchains must divide C={C}")
+    M = C // K
+    if S == 1 and M == 1:
+        raise ValueError("nested_rhat needs S >= 2 or M >= 2")
+    ax = chain_axes(mesh)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=P(None, ax),
+             out_specs=(P(), P(), P()))
+    def pooled(block):  # (S, C/n_dev, ...)
+        x = block.reshape((S, kpd, M) + block.shape[2:])
+        chain_mean = jnp.mean(x, axis=0)                   # (kpd, M, ...)
+        chain_var = jnp.var(x, axis=0)
+        super_mean = jnp.mean(chain_mean, axis=1)          # (kpd, ...)
+        sum_bw = jnp.sum((chain_mean - super_mean[:, None]) ** 2,
+                         axis=(0, 1))
+        sum_ww = jnp.sum(chain_var, axis=(0, 1))
+        # pre-centered between-superchain moment (see ESS note above)
+        grand = jax.lax.psum(jnp.sum(super_mean, axis=0), ax) / K
+        sum_b = jax.lax.psum(jnp.sum((super_mean - grand) ** 2, axis=0),
+                             ax)
+        return (sum_b,
+                jax.lax.psum(sum_bw, ax),
+                jax.lax.psum(sum_ww, ax))
+
+    sum_b, sum_bw, sum_ww = pooled(samples)
+    B_nu = sum_b / K
+    W_nu = sum_bw / (K * M) + sum_ww / (K * M)
+    tiny = jnp.finfo(samples.dtype).tiny
+    return jnp.sqrt(1.0 + B_nu / jnp.maximum(W_nu, tiny))
 
 
 def sharded_mean(x, mesh: Mesh, chain_axis: int = 0):

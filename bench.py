@@ -190,6 +190,11 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     ess_extrap = np.asarray(
         dg.effective_sample_size(arr[:, :C_tau], max_lags=256)) * (C / C_tau)
     rhat = np.asarray(dg.potential_scale_reduction(arr))
+    # nested R-hat (Margossian et al. 2024): the convergence check built
+    # for exactly this many-chains regime — pools chains into 64
+    # superchains so between-group bias can't hide behind short chains.
+    nrhat = np.asarray(dg.nested_rhat(arr, num_superchains=64)) \
+        if C % 64 == 0 else rhat
     extra = {}
     if engine == "chees":
         extra = {"trajectory_length": float(np.asarray(
@@ -209,6 +214,7 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         "ess_mean": float(ess.mean()),
         "ess_min_extrapolated_1024": float(ess_extrap.min()),
         "rhat_max": float(rhat.max()),
+        "nested_rhat_max": float(nrhat.max()),
         "converged": bool(rhat.max() < 1.05),
         "wall_s": wall,
         "vi_wall_s": vi_wall,

@@ -176,3 +176,55 @@ def test_result_summary_end_to_end():
     assert "mu" in names and "theta[0]" in names
     assert all(np.isfinite(r["rhat"]) for r in rows)
     assert all(r["ess_per_kgrad"] > 0 for r in rows)
+
+
+def test_nested_rhat_iid_near_one():
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (50, 64, 2))
+    r = np.asarray(dg.nested_rhat(x, num_superchains=8))
+    assert r.shape == (2,)
+    assert np.all(r >= 1.0)
+    assert np.all(r < 1.02)
+
+
+def test_nested_rhat_detects_superchain_offsets():
+    """Superchains stuck in different basins must be flagged even though
+    every chain individually looks stationary (split R-hat's blind spot
+    is short chains; nested R-hat's design point)."""
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (50, 64, 1)) * 0.1
+    offsets = jnp.repeat(jnp.linspace(-2.0, 2.0, 8), 8)  # per superchain
+    x = x + offsets[None, :, None]
+    r = float(dg.nested_rhat(x, num_superchains=8)[0])
+    assert r > 1.5
+    # same draws pass when the offset is shared (no between-super var)
+    x_ok = x - offsets[None, :, None]
+    assert float(dg.nested_rhat(x_ok, num_superchains=8)[0]) < 1.02
+
+
+def test_nested_rhat_single_draw_regime():
+    """The many-short-chains limit: S=1 kept draw per chain. Split R-hat
+    is undefined there; nested R-hat still works off within-superchain
+    spread."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (1, 256, 1))
+    r_ok = float(dg.nested_rhat(x, num_superchains=16)[0])
+    assert 1.0 <= r_ok < 1.1
+    offsets = jnp.repeat(jnp.linspace(-3.0, 3.0, 16), 16)
+    r_bad = float(dg.nested_rhat(x + offsets[None, :, None],
+                                 num_superchains=16)[0])
+    assert r_bad > 2.0
+
+
+def test_nested_rhat_validates_args():
+    x = jnp.zeros((10, 12, 1))
+    try:
+        dg.nested_rhat(x, num_superchains=5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        dg.nested_rhat(jnp.zeros((1, 8, 1)), num_superchains=8)
+        assert False, "expected ValueError (S=1, M=1)"
+    except ValueError:
+        pass

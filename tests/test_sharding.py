@@ -261,3 +261,26 @@ def test_sharded_ghmc_runs_and_matches_local():
                                rtol=2e-3, atol=2e-3)
     flat = np.asarray(s_shard).reshape(-1, 2)
     np.testing.assert_allclose(flat.std(0), [1.0, 1.0], rtol=0.2)
+
+
+def test_sharded_nested_rhat_matches_unsharded():
+    from autoreparam_tpu.parallel import sharded_nested_rhat
+    from autoreparam_tpu.inference.diagnostics import nested_rhat
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(11)
+    # offset superchains so nR-hat is well above 1 (a real signal, not
+    # just noise-floor agreement)
+    x = jax.random.normal(key, (50, 32, 2)) * 0.3
+    offs = jnp.repeat(jnp.linspace(-1.0, 1.0, 8), 4)
+    x = x + offs[None, :, None]
+    want = np.asarray(nested_rhat(x, num_superchains=8))
+    xs = shard_chains(mesh, x, axis=1)
+    got = np.asarray(sharded_nested_rhat(xs, mesh,
+                                         superchains_per_device=1))
+    assert want.min() > 1.3
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # 2 superchains per device: K=16
+    want16 = np.asarray(nested_rhat(x, num_superchains=16))
+    got16 = np.asarray(sharded_nested_rhat(xs, mesh,
+                                           superchains_per_device=2))
+    np.testing.assert_allclose(got16, want16, rtol=1e-5)
