@@ -2,7 +2,8 @@ from . import (chees, diagnostics, ghmc, hmc, interleaved, nuts,
                pipeline, vi)
 from .diagnostics import (effective_sample_size, ess_per_grad,
                           potential_scale_reduction, nested_rhat, summarize,
-                          rank_normalize, rhat_rank, ess_bulk, ess_tail,
+                          ebfmi, rank_normalize, rhat_rank, ess_bulk,
+                          ess_tail,
                           summary_table, format_summary)
 from .pipeline import result_summary
 from .hmc import HMCConfig, run_hmc, hmc_kernel, warmup_schedule

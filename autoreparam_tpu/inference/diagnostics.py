@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["autocovariance", "effective_sample_size", "ess_from_moments",
-           "potential_scale_reduction", "nested_rhat", "ess_per_grad",
+           "potential_scale_reduction", "nested_rhat", "ebfmi",
+           "ess_per_grad",
            "summarize", "rank_normalize", "rhat_rank", "ess_bulk",
            "ess_tail", "summary_table", "format_summary"]
 
@@ -253,6 +254,26 @@ def effective_sample_size(samples, chain_chunk: int = 512,
     if B_over_n is None:
         B_over_n = jnp.zeros_like(W)
     return ess_from_moments(mean_acov, W, B_over_n, S, C)
+
+
+def ebfmi(energy):
+    """Energy Bayesian fraction of missing information (Betancourt 2016;
+    Stan's `E-BFMI`): mean squared energy increment over marginal energy
+    variance, per chain.
+
+    `energy`: (S, C) Hamiltonian energies at the END of each transition
+    (momentum freshly resampled each step).  Low values (< 0.3, Stan's
+    warning bar) mean momentum resampling explores the energy marginal
+    much more slowly than the transitions do — the classic heavy-tail /
+    funnel failure mode that reparameterisation (NCP/VIP) exists to fix,
+    so this is the natural companion diagnostic to this framework.
+    Returns (C,).
+    """
+    dE = jnp.diff(energy, axis=0)
+    num = jnp.mean(dE * dE, axis=0)
+    den = jnp.var(energy, axis=0)
+    tiny = jnp.finfo(energy.dtype).tiny
+    return num / jnp.maximum(den, tiny)
 
 
 def ess_per_grad(ess, num_samples: int, num_leapfrog_steps: int,

@@ -271,10 +271,14 @@ def hmc_kernel(potential_fn: Callable, num_leapfrog_steps: int,
             pot=jnp.where(accept, pot_new, state.pot),
             grad=jnp.where(accept, grad_new, state.grad),
         )
+        # energy of the state the chain is actually AT after the
+        # transition (Stan's `energy__`): the proposal's Hamiltonian if
+        # accepted, else the refreshed-momentum Hamiltonian at the old
+        # position.  This is the series E-BFMI is defined over.
         info = HMCInfo(accept_prob=accept_prob,
                        is_accepted=accept,
                        is_divergent=is_divergent,
-                       energy=energy1,
+                       energy=jnp.where(accept, energy1, energy0),
                        step_size=step_size)
         return new_state, info
 
@@ -503,12 +507,12 @@ def run_hmc(potential_fn: Callable,
             state, infos = jax.lax.scan(thin_body, state, tkeys)
             info = jax.tree.map(lambda x: x[-1], infos)
         out = (jax.vmap(collect_fn)(state.z), info.accept_prob,
-               info.is_divergent)
+               info.is_divergent, info.energy)
         return state, out
 
     samp_keys = jax.random.split(k_samp, config.num_samples)
-    state_final, (samples, accept_probs, divergences) = jax.lax.scan(
-        sample_step, state0, samp_keys)
+    state_final, (samples, accept_probs, divergences, energies) = \
+        jax.lax.scan(sample_step, state0, samp_keys)
 
     stats = {
         "step_size": step_size_final,            # (C,)
@@ -516,6 +520,7 @@ def run_hmc(potential_fn: Callable,
         "warmup_accept_prob": warm_accept,       # (W, C)
         "accept_prob": accept_probs,             # (S, C)
         "divergences": divergences,              # (S, C)
+        "energy": energies,                      # (S, C)
         "final_state": state_final,
         "rescued_chains": stuck,                 # (C,) bool
         "num_grad_evals_per_sample": config.num_leapfrog_steps

@@ -77,6 +77,8 @@ class _NutsInfo(NamedTuple):
     is_divergent: jnp.ndarray
     depth: jnp.ndarray           # tree depth reached
     num_grads: jnp.ndarray       # leaves actually integrated (active)
+    energy: jnp.ndarray          # Hamiltonian of the selected state
+                                 # (Stan's energy__; E-BFMI series)
 
 
 def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
@@ -107,6 +109,7 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
         zR, rR, gR = z0, r0, grad0    # rightmost leaf
         r_sum = r0
         cand_z = z0
+        cand_energy = energy0
         log_w = jnp.zeros((), dtype)  # weight of initial point: e^0
         done = jnp.zeros((), bool)
         divergent = jnp.zeros((), bool)
@@ -134,6 +137,7 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
                 r_sum=jnp.zeros((D,), dtype),
                 log_w=-jnp.inf * jnp.ones((), dtype),
                 cand=z_e,  # overwritten by first leaf (weight −inf)
+                cand_h=energy0,
                 stop=done,  # if chain already done, subtree is a no-op
                 div=jnp.zeros((), bool),
                 ckpt_r=ckpt_r, ckpt_rsum=ckpt_rsum,
@@ -198,6 +202,10 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
                         jnp.logical_and(~c["stop"],
                                         jnp.logical_and(take, ~div_leaf)),
                         z_new, c["cand"]),
+                    cand_h=jnp.where(
+                        jnp.logical_and(~c["stop"],
+                                        jnp.logical_and(take, ~div_leaf)),
+                        h, c["cand_h"]),
                     stop=stop_new,
                     div=jnp.logical_or(c["div"], jnp.logical_and(
                         ~c["stop"], div_leaf)),
@@ -224,6 +232,7 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
             use_new = jnp.logical_and(
                 active, jnp.logical_and(subtree_ok, accept_new))
             cand_z = jnp.where(use_new, sub["cand"], cand_z)
+            cand_energy = jnp.where(use_new, sub["cand_h"], cand_energy)
             log_w_merged = jnp.logaddexp(log_w, sub["log_w"])
 
             # merge endpoints / momentum sum only if subtree valid
@@ -264,7 +273,8 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
         info = _NutsInfo(accept_prob=accept_prob,
                          is_divergent=divergent,
                          depth=depth_reached,
-                         num_grads=num_grads)
+                         num_grads=num_grads,
+                         energy=cand_energy)
         return cand_z, info
 
     return one_step
@@ -322,7 +332,8 @@ def sample_nuts(potential_fn: Callable, z0, key, num_samples: int,
     jit closure constants), so a resume with different adapted values
     reuses the compiled program.
 
-    Returns (samples, z_final, (accept, divergent, depth, grads)).
+    Returns (samples, z_final, (accept, divergent, depth, grads,
+    energy)).
     Chains continue a run checkpointed by utils/checkpoint.py exactly
     where it stopped.
     """
@@ -344,11 +355,12 @@ def sample_nuts(potential_fn: Callable, z0, key, num_samples: int,
         keys = jax.random.split(k, C)
         z, info = kern(z, keys, _jittered(step_size, kj), inv_mass)
         return z, (jax.vmap(collect_fn)(z), info.accept_prob,
-                   info.is_divergent, info.depth, info.num_grads)
+                   info.is_divergent, info.depth, info.num_grads,
+                   info.energy)
 
-    z_final, (samples, acc, div, depth, grads) = _chunked_scan(
+    z_final, (samples, acc, div, depth, grads, energy) = _chunked_scan(
         sample_step, z0, jax.random.split(key, num_samples), scan_chunk)
-    return samples, z_final, (acc, div, depth, grads)
+    return samples, z_final, (acc, div, depth, grads, energy)
 
 
 def run_nuts(potential_fn: Callable,
@@ -444,7 +456,7 @@ def run_nuts(potential_fn: Callable,
     else:
         step_final = jnp.full((C,), init_step_size, dtype)
 
-    samples, z_final, (acc, div, depth, grads) = sample_nuts(
+    samples, z_final, (acc, div, depth, grads, energy) = sample_nuts(
         potential_fn, z0, ks, num_samples, step_final, inv_mass0,
         max_tree_depth=max_tree_depth, step_jitter=jitter,
         collect_fn=collect_fn, scan_chunk=scan_chunk)
@@ -455,6 +467,7 @@ def run_nuts(potential_fn: Callable,
         "accept_prob": acc,
         "divergences": div,
         "tree_depth": depth,
+        "energy": energy,                        # (S, C)
         "rescued_chains": stuck,
         "num_grad_evals_per_sample": jnp.mean(grads),
         "final_position": z_final,

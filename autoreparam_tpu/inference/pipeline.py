@@ -402,6 +402,13 @@ def run_experiment(spec: ModelSpec,
         "divergence_rate": (float(np.asarray(
             stats["divergences"]).mean())
             if "divergences" in stats else None),
+        # E-BFMI (Stan's energy diagnostic; < 0.3 flags the heavy-tail /
+        # funnel pathology reparameterisation exists to fix) — min over
+        # chains, from the post-accept Hamiltonian series
+        "ebfmi_min": (float(np.asarray(
+            dg.ebfmi(stats["energy"])).min())
+            if "energy" in stats and stats["energy"].shape[0] >= 2
+            else None),
         "finite_fraction_min": float(np.asarray(finite_frac).min()),
         "param_names": names,
         "latent_names": list(info.names),

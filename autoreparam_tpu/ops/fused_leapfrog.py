@@ -119,7 +119,7 @@ def make_fused_transition(potential_fn: Callable, num_steps: int,
     equivalence test in tests/test_pallas.py relies on that.
 
     fused(z, pot, grad, normals, u, step_size, inv_mass) ->
-        (z', pot', grad', accept_prob, accepted, divergent, energy1)
+        (z', pot', grad', accept_prob, accepted, divergent, energy)
     with accepted/divergent returned as {0,1} floats (TPU Pallas outputs
     are vector-register shaped; callers cast to bool).
     """
@@ -159,7 +159,8 @@ def make_fused_transition(potential_fn: Callable, num_steps: int,
         ap_out[:] = accept_prob[:, None]
         acc_out[:] = accept[:, None].astype(z.dtype)
         div_out[:] = divergent[:, None].astype(z.dtype)
-        en_out[:] = energy1[:, None]
+        # post-accept Hamiltonian (Stan's energy__), matching hmc_kernel
+        en_out[:] = jnp.where(accept, energy1, energy0)[:, None]
 
     @jax.jit
     def fused(z, pot, grad, normals, u, step_size, inv_mass):
@@ -215,12 +216,12 @@ def fused_hmc_kernel(potential_fn: Callable, num_leapfrog_steps: int,
                                                            s.dtype))
                    (key_mom, state.z))
         u = jax.vmap(lambda k: jax.random.uniform(k, ()))(key_acc)
-        z1, pot1, grad1, ap, acc, div, energy1 = fused(
+        z1, pot1, grad1, ap, acc, div, energy = fused(
             state.z, state.pot, state.grad, normals, u, step_size,
             inv_mass)
         new_state = HMCState(z=z1, pot=pot1, grad=grad1)
         info = HMCInfo(accept_prob=ap, is_accepted=acc.astype(bool),
-                       is_divergent=div.astype(bool), energy=energy1,
+                       is_divergent=div.astype(bool), energy=energy,
                        step_size=step_size)
         return new_state, info
 

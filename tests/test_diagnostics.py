@@ -228,3 +228,21 @@ def test_nested_rhat_validates_args():
         assert False, "expected ValueError (S=1, M=1)"
     except ValueError:
         pass
+
+
+def test_ebfmi_iid_and_sticky_energy():
+    key = jax.random.PRNGKey(10)
+    # iid energies: E[(dE)^2] = 2 var  =>  ebfmi ~ 2
+    e = jax.random.normal(key, (4000, 4))
+    b = np.asarray(dg.ebfmi(e))
+    assert b.shape == (4,)
+    np.testing.assert_allclose(b, 2.0, rtol=0.15)
+    # AR(1) with rho: ebfmi ~ 2(1 - rho)  -> sticky series flagged
+    rho = 0.95
+    eps = np.asarray(jax.random.normal(jax.random.PRNGKey(11), (4000, 4)))
+    x = np.zeros_like(eps)
+    for t in range(1, eps.shape[0]):
+        x[t] = rho * x[t - 1] + np.sqrt(1 - rho ** 2) * eps[t]
+    b_ar = np.asarray(dg.ebfmi(jnp.asarray(x)))
+    np.testing.assert_allclose(b_ar, 2 * (1 - rho), rtol=0.35)
+    assert np.all(b_ar < 0.3)  # Stan's warning bar fires

@@ -154,3 +154,17 @@ def test_german_gammascale_cross_method_consistency():
     from autoreparam_tpu.reparam.handler import eligible_sites
     el = set(eligible_sites(spec.model, spec.args))
     assert el == {"beta"}, el
+
+
+def test_ebfmi_flags_centered_funnel():
+    """The energy diagnostic must fire exactly where reparameterisation
+    is needed: funnel-CP's momentum resamples cannot traverse the energy
+    marginal (low E-BFMI), funnel-NCP's can."""
+    from autoreparam_tpu.inference.pipeline import run_experiment
+    spec = get_model("neals_funnel")
+    kw = dict(inference="hmc", num_chains=16, num_warmup=300,
+              num_samples=300, num_leapfrog_steps=8, seed=0)
+    cp = run_experiment(spec, method="cp", **kw)
+    ncp = run_experiment(spec, method="ncp", **kw)
+    assert ncp.summary["ebfmi_min"] > 0.5
+    assert cp.summary["ebfmi_min"] < ncp.summary["ebfmi_min"]

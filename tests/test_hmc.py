@@ -157,3 +157,23 @@ def test_rescue_stuck_chains():
     s2, st2 = rescue_stuck_chains(state, jnp.zeros((0, C)),
                                   jax.random.PRNGKey(0))
     assert not bool(np.asarray(st2).any())
+
+
+def test_energy_stats_and_ebfmi():
+    """run_hmc emits the post-accept Hamiltonian series; on a standard
+    normal target E-BFMI is healthy (~2 for near-iid energies)."""
+    from autoreparam_tpu.inference import diagnostics as dg
+
+    def pot(z):
+        return 0.5 * jnp.sum(z ** 2)
+
+    key = jax.random.PRNGKey(3)
+    z0 = jax.random.normal(key, (8, 4))
+    cfg = H.HMCConfig(num_warmup=200, num_samples=300,
+                      num_leapfrog_steps=8)
+    _, stats = H.run_hmc(pot, z0, jax.random.PRNGKey(4), cfg)
+    e = np.asarray(stats["energy"])
+    assert e.shape == (300, 8)
+    assert np.all(np.isfinite(e))
+    b = np.asarray(dg.ebfmi(stats["energy"]))
+    assert np.all(b > 0.5)
