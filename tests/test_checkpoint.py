@@ -130,3 +130,36 @@ def test_resumable_ghmc_completes_and_resumes(tmp_path):
     assert s_full.shape == (S, C, D)
     np.testing.assert_allclose(s_res, s_full, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(s_part, s_full[:50], rtol=1e-5, atol=1e-6)
+
+
+def test_run_until_converged_gates_on_rhat(tmp_path):
+    """Convergence-gated sampling: a well-mixing Gaussian chain passes
+    the rank-R-hat gate well before max_samples; the history records
+    each check; and a resumed run_until continues from the same chunks."""
+    cfg = HMCConfig(num_warmup=100, num_samples=0, num_leapfrog_steps=4,
+                    init_step_size=0.3)
+    C, D = 16, 2
+    key = jax.random.PRNGKey(1)
+    init = jax.random.normal(key, (C, D))
+
+    d = str(tmp_path / "until")
+    r = ResumableHMC(pot, cfg, d, chunk_size=50)
+    samples, info = r.run_until(init, key, max_samples=1000,
+                                min_samples=100, rhat_bar=1.1)
+    assert info["converged"]
+    assert samples.shape[0] < 1000          # stopped early
+    assert samples.shape[0] == info["num_samples"]
+    assert info["history"][-1]["stat"] < 1.1
+    assert all(h["num_samples"] >= 100 for h in info["history"])
+
+    # an impossible bar exhausts the budget without passing
+    d2 = str(tmp_path / "until2")
+    r2 = ResumableHMC(pot, cfg, d2, chunk_size=50)
+    s2, info2 = r2.run_until(init, key, max_samples=150,
+                             rhat_bar=0.5)
+    assert not info2["converged"] and s2.shape[0] == 150
+    # resume with an achievable bar: reuses the 3 saved chunks
+    r3 = ResumableHMC(pot, cfg, d2, chunk_size=50)
+    s3, info3 = r3.run_until(init, key, max_samples=400, rhat_bar=1.1)
+    np.testing.assert_array_equal(s3[:150], s2)
+    assert info3["converged"]
