@@ -35,7 +35,8 @@ flags.DEFINE_integer("num_adaptation_steps", None,
                      "when both are set")
 flags.DEFINE_integer("num_leapfrog_steps", 16, "leapfrog steps (HMC)")
 flags.DEFINE_integer("max_tree_depth", 8, "max tree depth (NUTS)")
-flags.DEFINE_integer("num_optimization_steps", 3000, "VI Adam steps")
+flags.DEFINE_integer("num_optimization_steps", 3000,
+                     "VI Adam steps (-1: plateau-gated auto budget)")
 flags.DEFINE_integer("num_mc_samples", 8, "VI ELBO MC samples")
 flags.DEFINE_float("learning_rate", 0.02, "VI Adam learning rate")
 flags.DEFINE_float("target_accept", 0.75, "dual-averaging target")

@@ -10,7 +10,8 @@ from .hmc import HMCConfig, run_hmc, hmc_kernel, warmup_schedule
 from .interleaved import run_interleaved_hmc
 from .nuts import run_nuts, nuts_kernel
 from .pipeline import ExperimentResult, run_experiment
-from .vi import VIResult, discretize_lambda, fit_vi, fit_vip_vi
+from .vi import (VIResult, discretize_lambda, fit_vi, fit_vi_auto,
+                 fit_vip_vi)
 from .chees import CheesConfig, run_chees
 from .ghmc import GHMCConfig, run_ghmc, ghmc_kernel
 from .model_compare import (LooResult, WaicResult, compare, loo,

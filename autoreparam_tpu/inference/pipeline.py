@@ -139,6 +139,25 @@ def run_experiment(spec: ModelSpec,
     k_vi, k_init, k_run = jax.random.split(key, 3)
     model, args, kwargs = spec.model, spec.args, spec.kwargs
 
+    # num_optimization_steps="auto" (or -1): plateau-gated VI budget
+    # (vi.fit_vi_auto) instead of a hand-picked step count
+    vi_auto = num_optimization_steps in ("auto", -1)
+
+    def _fit(mdl, *, key, vip_sites=None, num_restarts=num_vi_restarts,
+             lam_tie="element"):
+        if vi_auto:
+            from .vi import fit_vi_auto
+            return fit_vi_auto(mdl, args, kwargs, vip_sites=vip_sites,
+                               num_mc_samples=num_mc_samples,
+                               learning_rate=learning_rate, key=key,
+                               num_restarts=num_restarts,
+                               lam_tie=lam_tie)
+        return fit_vi(mdl, args, kwargs, vip_sites=vip_sites,
+                      num_steps=num_optimization_steps,
+                      num_mc_samples=num_mc_samples,
+                      learning_rate=learning_rate, key=key,
+                      num_restarts=num_restarts, lam_tie=lam_tie)
+
     vi_res = None
     lam = None
     grad_multiplier = 1.0
@@ -151,12 +170,8 @@ def run_experiment(spec: ModelSpec,
                                        model_kwargs=kwargs)
     elif method in ("cvip", "dvip"):
         sites = tuple(eligible_sites(model, args, kwargs))
-        vi_res = fit_vi(model, args, kwargs, vip_sites=sites,
-                        num_steps=num_optimization_steps,
-                        num_mc_samples=num_mc_samples,
-                        learning_rate=learning_rate, key=k_vi,
-                        num_restarts=num_vi_restarts,
-                        lam_tie=vip_lam_tie)
+        vi_res = _fit(model, key=k_vi, vip_sites=sites,
+                      lam_tie=vip_lam_tie)
         lam = vi_res.lam
         if method == "dvip":
             lam = discretize_lambda(lam)
@@ -169,12 +184,8 @@ def run_experiment(spec: ModelSpec,
             # (measured: german_ln dVIP worst seed R-hat 1.30 with the
             # stale q*).  Re-fit q on the discretised model — λ is
             # fixed now, so this is plain ADVI.
-            refit = fit_vi(sampled_model, args, kwargs,
-                           num_steps=num_optimization_steps,
-                           num_mc_samples=num_mc_samples,
-                           learning_rate=learning_rate,
-                           key=jax.random.fold_in(k_vi, 1),
-                           num_restarts=num_vi_restarts)
+            refit = _fit(sampled_model,
+                         key=jax.random.fold_in(k_vi, 1))
             vi_res = refit._replace(lam=lam)
     elif method == "interleaved":
         sampled_model = model  # iHMC runs its own dual systems
@@ -184,18 +195,16 @@ def run_experiment(spec: ModelSpec,
     # ---- VI-only inference -------------------------------------------
     if inference == "vi":
         if vi_res is None:
-            vi_res = fit_vi(sampled_model, args, kwargs,
-                            num_steps=num_optimization_steps,
-                            num_mc_samples=num_mc_samples,
-                            learning_rate=learning_rate, key=k_vi,
-                            num_restarts=num_vi_restarts)
+            vi_res = _fit(sampled_model, key=k_vi)
         summary = {
             "elbo": float(np.asarray(vi_res.elbo_trace)[-100:].mean()),
             "method": method, "inference": "vi", "model": spec.name,
             "vi_loc": np.asarray(vi_res.loc),
             "vi_scale": np.asarray(vi_res.scale),
             "latent_names": list(info.names),
-            "num_optimization_steps": num_optimization_steps,
+            "num_optimization_steps": (
+                int(vi_res.elbo_trace.shape[0]) if vi_auto
+                else num_optimization_steps),
             "learning_rate": learning_rate,
             "num_vi_restarts": num_vi_restarts,
             "vip_lam_tie": vip_lam_tie,
@@ -392,7 +401,9 @@ def run_experiment(spec: ModelSpec,
         "num_vi_restarts": num_vi_restarts,
         "vip_lam_tie": vip_lam_tie,
         "dvip_refit": bool(dvip_refit),
-        "num_optimization_steps": num_optimization_steps,
+        "num_optimization_steps": (
+            int(vi_res.elbo_trace.shape[0]) if vi_auto and vi_res is not None
+            else num_optimization_steps),
         "learning_rate": learning_rate,
         "target_accept": target_accept,
         "max_tree_depth": (max_tree_depth if inference == "nuts"

@@ -30,7 +30,8 @@ from ..core.interpreters import (ModelInfo, get_model_info,
 from ..reparam import make_vip_model
 from ..reparam.handler import eligible_sites
 
-__all__ = ["VIResult", "fit_vi", "fit_vip_vi", "discretize_lambda"]
+__all__ = ["VIResult", "fit_vi", "fit_vi_auto", "fit_vip_vi",
+           "discretize_lambda"]
 
 _LOG_2PI_E = math.log(2.0 * math.pi) + 1.0
 
@@ -47,41 +48,10 @@ def _gaussian_entropy(log_scale):
     return jnp.sum(log_scale) + 0.5 * log_scale.size * _LOG_2PI_E
 
 
-def fit_vi(model: Callable,
-           model_args: tuple = (),
-           model_kwargs: Optional[dict] = None,
-           *,
-           vip_sites: Optional[Tuple[str, ...]] = None,
-           num_steps: int = 3000,
-           num_mc_samples: int = 8,
-           learning_rate: float = 0.02,
-           lr_schedule: str = "cosine",
-           key=None,
-           init_loc: Optional[jnp.ndarray] = None,
-           num_restarts: int = 1,
-           lam_tie: str = "element") -> VIResult:
-    """Fit mean-field q; if `vip_sites` is given, the model is rewritten
-    into VIP form on those sites and λ is learned jointly (cVIP).
-
-    `vip_sites=None` fits plain ADVI on the model as passed (use a
-    CP/NCP-rewritten model for the reference's `--inference=VI`
-    comparisons, SURVEY.md §4.4).
-
-    `num_restarts > 1` runs that many independent optimizations (vmapped
-    over restart keys — one compiled program, the TPU-native way to
-    restart) and keeps the one with the best final ELBO: the joint
-    (q, λ) objective is multi-basin on models like german_credit (λ has
-    CP-like and NCP-like basins per site), and a single Adam run can
-    settle in the worse one.
-
-    `lam_tie="site"` learns ONE λ per VIP site instead of elementwise
-    (the paper's per-variable λ is the `"element"` default): for
-    exchangeable vector sites (e.g. 25 iid local scales) tying removes
-    the per-element λ noise floor — every element shares the evidence.
-    """
-    model_kwargs = model_kwargs or {}
-    key = key if key is not None else jax.random.PRNGKey(0)
-
+def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
+                init_loc, num_mc_samples):
+    """Shared setup for fit_vi / fit_vi_auto: the (possibly VIP-wrapped)
+    model's latent layout, neutral init, and the MC negative-ELBO."""
     if vip_sites is not None:
         shapes = eligible_sites(model, model_args, model_kwargs)
         missing = [s for s in vip_sites if s not in shapes]
@@ -122,6 +92,67 @@ def fit_vi(model: Callable,
         e_logp = -jnp.mean(jax.vmap(pot)(z))
         return -(e_logp + _gaussian_entropy(params["log_scale"]))
 
+    return info, params0, neg_elbo, lam_shapes
+
+
+def _perturbed_init(params0, key, perturb, lam_shapes):
+    """Restart init: perturb=0 keeps the canonical neutral start; >0
+    scatters λ logits across [σ(−3), σ(3)] and jitters loc (the (q, λ)
+    basins differ chiefly in which side of 0.5 each λ settles)."""
+    kl, kc = jax.random.split(key)
+    return dict(
+        params0,
+        loc=params0["loc"] + perturb * 0.3 * jax.random.normal(
+            kc, params0["loc"].shape),
+        lam_logit=jax.tree.map(
+            lambda v, k: v + perturb * 3.0 * jax.random.normal(
+                k, v.shape),
+            params0["lam_logit"],
+            dict(zip(params0["lam_logit"],
+                     jax.random.split(kl, max(len(lam_shapes), 1))[
+                         :len(lam_shapes)]))),
+    )
+
+
+def fit_vi(model: Callable,
+           model_args: tuple = (),
+           model_kwargs: Optional[dict] = None,
+           *,
+           vip_sites: Optional[Tuple[str, ...]] = None,
+           num_steps: int = 3000,
+           num_mc_samples: int = 8,
+           learning_rate: float = 0.02,
+           lr_schedule: str = "cosine",
+           key=None,
+           init_loc: Optional[jnp.ndarray] = None,
+           num_restarts: int = 1,
+           lam_tie: str = "element") -> VIResult:
+    """Fit mean-field q; if `vip_sites` is given, the model is rewritten
+    into VIP form on those sites and λ is learned jointly (cVIP).
+
+    `vip_sites=None` fits plain ADVI on the model as passed (use a
+    CP/NCP-rewritten model for the reference's `--inference=VI`
+    comparisons, SURVEY.md §4.4).
+
+    `num_restarts > 1` runs that many independent optimizations (vmapped
+    over restart keys — one compiled program, the TPU-native way to
+    restart) and keeps the one with the best final ELBO: the joint
+    (q, λ) objective is multi-basin on models like german_credit (λ has
+    CP-like and NCP-like basins per site), and a single Adam run can
+    settle in the worse one.
+
+    `lam_tie="site"` learns ONE λ per VIP site instead of elementwise
+    (the paper's per-variable λ is the `"element"` default): for
+    exchangeable vector sites (e.g. 25 iid local scales) tying removes
+    the per-element λ noise floor — every element shares the evidence.
+    """
+    model_kwargs = model_kwargs or {}
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    info, params0, neg_elbo, lam_shapes = _vi_problem(
+        model, model_args, model_kwargs, vip_sites, lam_tie, init_loc,
+        num_mc_samples)
+
     # Constant LR for 70% of the budget, then a cosine tail to ~0: the
     # tail makes the final (q*, λ*) a near-fixed point of the optimizer
     # instead of a sample from Adam's stationary noise ball — λ* and the
@@ -150,27 +181,11 @@ def fit_vi(model: Callable,
         return (params, opt_state), -loss
 
     def one_fit(key, perturb):
-        # perturb=0 keeps the canonical neutral init (λ=0.5, loc=0);
-        # perturbed restarts scatter the λ logits across [σ(-3), σ(3)]
-        # and jitter loc — the (q, λ) objective's basins differ chiefly
-        # in which side of 0.5 each λ settles, so restarts must *start*
-        # in different basins to explore them (same MC keys from the
-        # same init would mostly re-find one basin).
+        # restarts must *start* in different basins to explore them
+        # (same MC keys from the same init would mostly re-find one
+        # basin) — see _perturbed_init
         k_init, k_run = jax.random.split(key)
-        kl, kc = jax.random.split(k_init)
-        p0 = dict(
-            params0,
-            loc=params0["loc"] + perturb * 0.3 * jax.random.normal(
-                kc, params0["loc"].shape),
-            lam_logit=jax.tree.map(
-                lambda v, k: v + perturb * 3.0 * jax.random.normal(
-                    k, v.shape),
-                params0["lam_logit"],
-                dict(zip(params0["lam_logit"],
-                         jax.random.split(kl,
-                                          max(len(lam_shapes), 1))[
-                             :len(lam_shapes)]))),
-        )
+        p0 = _perturbed_init(params0, k_init, perturb, lam_shapes)
         keys = jax.random.split(k_run, num_steps)
         (params, _), elbos = jax.lax.scan(step, (p0, opt.init(p0)), keys)
         return params, elbos
@@ -194,6 +209,118 @@ def fit_vi(model: Callable,
                     scale=jnp.exp(params["log_scale"]),
                     lam=lam,
                     elbo_trace=elbos,
+                    info=info)
+
+
+def fit_vi_auto(model: Callable,
+                model_args: tuple = (),
+                model_kwargs: Optional[dict] = None,
+                *,
+                vip_sites: Optional[Tuple[str, ...]] = None,
+                max_steps: int = 20000,
+                chunk_steps: int = 500,
+                tail_steps: Optional[int] = None,
+                plateau_tol: float = 0.05,
+                num_mc_samples: int = 8,
+                learning_rate: float = 0.02,
+                key=None,
+                init_loc: Optional[jnp.ndarray] = None,
+                num_restarts: int = 1,
+                lam_tie: str = "element") -> VIResult:
+    """fit_vi with the step budget chosen by the ELBO instead of by
+    hand: constant-LR chunks of `chunk_steps` run until the mean ELBO
+    of a chunk's last 100 steps improves on the previous chunk's by
+    less than `plateau_tol` nats (or `max_steps` is hit), then a
+    cosine-decay tail of `tail_steps` anneals LR to ~0 so the returned
+    (q*, λ*) is a near-fixed point rather than a draw from Adam's
+    stationary noise ball (same rationale as fit_vi's schedule tail —
+    q*/λ* feed the HMC phase's init and mass).
+
+    The chunk runner takes params/opt state as traced args, so every
+    chunk reuses ONE compiled program regardless of how many run (repo
+    compile-cache convention).  With `num_restarts > 1` all restarts
+    advance together (vmapped) and the plateau check uses the best
+    restart's improvement; the final pick is the best tail ELBO.
+    """
+    model_kwargs = model_kwargs or {}
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if tail_steps is None:
+        tail_steps = chunk_steps
+
+    info, params0, neg_elbo, lam_shapes = _vi_problem(
+        model, model_args, model_kwargs, vip_sites, lam_tie, init_loc,
+        num_mc_samples)
+
+    head_opt = optax.adam(learning_rate)
+    tail_opt = optax.adam(
+        optax.cosine_decay_schedule(learning_rate, tail_steps,
+                                    alpha=0.02))
+
+    def _step(opt):
+        def step(carry, key):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(neg_elbo)(params, key)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), -loss
+        return step
+
+    R = max(num_restarts, 1)
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys):        # keys: (R, chunk)
+        def one(p, s, ks):
+            (p, s), elbos = jax.lax.scan(_step(head_opt), (p, s), ks)
+            return p, s, elbos
+        return jax.vmap(one)(params, opt_state, keys)
+
+    @jax.jit
+    def run_tail(params, keys):                    # fresh tail opt state
+        def one(p, ks):
+            (p, _), elbos = jax.lax.scan(_step(tail_opt),
+                                         (p, tail_opt.init(p)), ks)
+            return p, elbos
+        return jax.vmap(one)(params, keys)
+
+    k_init, key = jax.random.split(key)
+    perturbs = jnp.arange(R, dtype=jnp.float32).clip(0.0, 1.0)
+    params = jax.vmap(lambda k, p: _perturbed_init(
+        params0, k, p, lam_shapes))(jax.random.split(k_init, R), perturbs)
+    opt_state = jax.vmap(head_opt.init)(params)
+
+    def _score(elbos):  # (R, n) -> (R,) mean of last <=100, NaN -> -inf
+        s = jnp.mean(elbos[:, -min(100, elbos.shape[1]):], axis=-1)
+        return jnp.where(jnp.isfinite(s), s, -jnp.inf)
+
+    traces = []
+    prev_best = -jnp.inf
+    steps_done = 0
+    while steps_done < max(max_steps - tail_steps, chunk_steps):
+        k_chunk, key = jax.random.split(key)
+        keys = jax.random.split(k_chunk, (R, chunk_steps))
+        params, opt_state, elbos = run_chunk(params, opt_state, keys)
+        traces.append(elbos)
+        steps_done += chunk_steps
+        best = float(jnp.max(_score(elbos)))
+        if best - float(prev_best) < plateau_tol and steps_done >= \
+                2 * chunk_steps:
+            break
+        prev_best = best
+
+    k_tail, key = jax.random.split(key)
+    tkeys = jax.random.split(k_tail, (R, tail_steps))
+    params, tail_elbos = run_tail(params, tkeys)
+    traces.append(tail_elbos)
+
+    best = jnp.argmax(_score(tail_elbos))
+    p_best = jax.tree.map(lambda a: a[best], params)
+    elbo_trace = jnp.concatenate([t[best] for t in traces])
+
+    lam = {s: jax.nn.sigmoid(v) for s, v in p_best["lam_logit"].items()}
+    return VIResult(loc=p_best["loc"],
+                    scale=jnp.exp(p_best["log_scale"]),
+                    lam=lam,
+                    elbo_trace=elbo_trace,
                     info=info)
 
 

@@ -127,3 +127,32 @@ def test_vi_lambda_site_tying():
                      lam_tie="site")
     assert all(np.asarray(v).ndim == 0 for v in res.lam.values())
     assert float(res.lam["theta"]) < 0.5
+
+
+def test_fit_vi_auto_plateau_and_quality():
+    """Plateau-gated VI stops before max_steps on an easy posterior and
+    matches the fixed-budget fit's ELBO and lambda; restarts path runs."""
+    from autoreparam_tpu.inference.vi import fit_vi, fit_vi_auto
+    from autoreparam_tpu.models import get_model
+    from autoreparam_tpu.reparam.handler import eligible_sites
+
+    spec = get_model("eight_schools")
+    sites = tuple(eligible_sites(spec.model, spec.args, spec.kwargs))
+    auto = fit_vi_auto(spec.model, spec.args, spec.kwargs,
+                       vip_sites=sites, max_steps=20000, chunk_steps=400,
+                       key=jax.random.PRNGKey(0))
+    fixed = fit_vi(spec.model, spec.args, spec.kwargs, vip_sites=sites,
+                   num_steps=3000, key=jax.random.PRNGKey(0))
+    assert auto.elbo_trace.shape[0] < 20000      # stopped early
+    e_auto = float(np.mean(np.asarray(auto.elbo_trace)[-100:]))
+    e_fix = float(np.mean(np.asarray(fixed.elbo_trace)[-100:]))
+    assert abs(e_auto - e_fix) < 0.5             # within half a nat
+    for k in auto.lam:
+        np.testing.assert_allclose(np.asarray(auto.lam[k]),
+                                   np.asarray(fixed.lam[k]), atol=0.1)
+    # pipeline surface: num_optimization_steps="auto"
+    from autoreparam_tpu.inference import run_experiment
+    res = run_experiment(spec, method="cvip", inference="vi",
+                         num_optimization_steps="auto", seed=0)
+    assert res.summary["num_optimization_steps"] < 20000
+    assert np.isfinite(res.summary["elbo"])
