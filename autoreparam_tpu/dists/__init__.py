@@ -4,7 +4,8 @@ from .bijectors import (Affine, Bijector, Chain, Exp, Identity, Sigmoid,
 from .distributions import (Bernoulli, Beta, Binomial, Categorical,
                             Cauchy, Delta, Dirichlet, Distribution,
                             Exponential, Gamma, HalfCauchy, HalfNormal,
-                            InverseGamma, LogNormal, Multinomial,
-                            MultivariateNormal, Normal,
+                            Gumbel, InverseGamma, Laplace, LogNormal,
+                            Logistic, Multinomial, MultivariateNormal,
+                            NegativeBinomial, Normal,
                             NormalSufficientStats, Poisson, StudentT,
                             Uniform)

@@ -29,7 +29,8 @@ from . import bijectors as bij
 __all__ = [
     "Distribution", "Normal", "HalfNormal", "Cauchy", "HalfCauchy",
     "LogNormal", "Exponential", "Gamma", "InverseGamma", "Beta",
-    "Dirichlet", "StudentT", "Uniform", "Bernoulli", "Binomial",
+    "Dirichlet", "StudentT", "Laplace", "Gumbel", "Logistic",
+    "NegativeBinomial", "Uniform", "Bernoulli", "Binomial",
     "Categorical", "Multinomial", "MultivariateNormal",
     "Poisson", "Delta",
 ]
@@ -359,6 +360,123 @@ class StudentT(Distribution):
 
     def with_loc_scale(self, loc, scale):
         return StudentT(self.df, loc, scale)
+
+
+class Laplace(Distribution):
+    """Location-scale (so NCP/VIP-eligible): robust-regression priors."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.laplace(key, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale * z
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -jnp.abs(z) - math.log(2.0) - jnp.log(self.scale)
+
+    def loc_scale(self):
+        return self.loc, self.scale
+
+    def with_loc_scale(self, loc, scale):
+        return Laplace(loc, scale)
+
+
+class Gumbel(Distribution):
+    """Location-scale (so NCP/VIP-eligible): extreme-value models."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.gumbel(key, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale * z
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -(z + jnp.exp(-z)) - jnp.log(self.scale)
+
+    def loc_scale(self):
+        return self.loc, self.scale
+
+    def with_loc_scale(self, loc, scale):
+        return Gumbel(loc, scale)
+
+
+class Logistic(Distribution):
+    """Location-scale (so NCP/VIP-eligible)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        z = jax.random.logistic(key, shape, dtype=jnp.result_type(float))
+        return self.loc + self.scale * z
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return (-z - 2.0 * jax.nn.softplus(-z) - jnp.log(self.scale))
+
+    def loc_scale(self):
+        return self.loc, self.scale
+
+    def with_loc_scale(self, loc, scale):
+        return Logistic(loc, scale)
+
+
+class NegativeBinomial(Distribution):
+    """Overdispersed counts (Gamma–Poisson mixture); observed sites only.
+    `logits` is the log-odds of a "success" (TFP convention): mean =
+    total_count * exp(logits)."""
+
+    def __init__(self, total_count, logits):
+        self.total_count = total_count
+        self.logits = logits
+
+    def support_bijector(self):
+        return None
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.total_count, self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        k_g, k_p = jax.random.split(key)
+        r = jnp.broadcast_to(
+            jnp.asarray(self.total_count, jnp.result_type(float)), shape)
+        # rate of the mixed Poisson: Gamma(r, scale = p/(1-p) = e^logits)
+        lam = (jax.random.gamma(k_g, r, dtype=jnp.result_type(float))
+               * jnp.exp(jnp.broadcast_to(
+                   jnp.asarray(self.logits, jnp.result_type(float)),
+                   shape)))
+        return jax.random.poisson(k_p, lam, shape).astype(
+            jnp.result_type(float))
+
+    def log_prob(self, x):
+        r = jnp.asarray(self.total_count, jnp.result_type(float))
+        log_comb = (gammaln(x + r) - gammaln(r) - gammaln(x + 1.0))
+        return (log_comb + x * self.logits
+                - (x + r) * jax.nn.softplus(self.logits))
 
 
 class Uniform(Distribution):

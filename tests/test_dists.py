@@ -30,6 +30,9 @@ CASES = [
     (d.Uniform(-1.0, 3.0), np.array([-0.5, 0.0, 2.9], np.float32),
      st.uniform(-1.0, 4.0)),
     (d.Beta(2.0, 3.5), X_UNIT, st.beta(2.0, 3.5)),
+    (d.Laplace(0.3, 1.7), X_REAL, st.laplace(0.3, 1.7)),
+    (d.Gumbel(-0.5, 2.2), X_REAL, st.gumbel_r(-0.5, 2.2)),
+    (d.Logistic(0.7, 1.3), X_REAL, st.logistic(0.7, 1.3)),
 ]
 
 
@@ -69,6 +72,12 @@ SAMPLE_CASES = [
     (d.InverseGamma(4.0, 3.0), 1.0, np.sqrt(1.0 / 2.0)),
     (d.Uniform(-1.0, 1.0), 0.0, np.sqrt(1 / 3)),
     (d.Beta(2.0, 3.0), 0.4, np.sqrt(2.0 * 3.0 / (25.0 * 6.0))),
+    (d.Laplace(1.0, 0.5), 1.0, 0.5 * np.sqrt(2.0)),
+    (d.Gumbel(0.0, 1.0), np.euler_gamma, np.pi / np.sqrt(6.0)),
+    (d.Logistic(-1.0, 0.5), -1.0, 0.5 * np.pi / np.sqrt(3.0)),
+    # NB(r, logits): mean r*e^l, var mean/(1-p) with p = sigmoid(l)
+    (d.NegativeBinomial(5.0, -0.7), 5.0 * np.exp(-0.7),
+     np.sqrt(5.0 * np.exp(-0.7) / (1.0 - 1 / (1 + np.exp(0.7))))),
 ]
 
 
@@ -263,3 +272,45 @@ def test_multivariate_normal_hmc_posterior():
     np.testing.assert_allclose(got_s, np.sqrt(np.diag(post_cov)),
                                atol=0.04)
     assert res.summary["rhat_max"] < 1.1
+
+
+def test_negative_binomial_log_prob_matches_scipy():
+    r, logits = 5.0, -0.7
+    x = np.array([0.0, 1.0, 3.0, 10.0], np.float32)
+    got = np.asarray(d.NegativeBinomial(r, logits).log_prob(
+        jnp.asarray(x)))
+    # scipy nbinom(n, p): failures before the nth success at success
+    # prob p; our "success" odds are e^logits, so p_scipy = sigmoid(-l)
+    want = st.nbinom(5, 1.0 / (1.0 + np.exp(logits))).logpmf(x)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_new_loc_scale_families_are_vip_eligible():
+    """Laplace/Gumbel/Logistic hierarchies must be NCP/VIP-rewritable
+    (the loc_scale protocol is all the reparam layer needs)."""
+    from autoreparam_tpu import sample
+    from autoreparam_tpu.reparam.handler import eligible_sites
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models.zoo import ModelSpec
+
+    y = jnp.asarray([0.3, -1.2, 2.1, 0.7])
+
+    def model(y):
+        mu = sample("mu", d.Normal(0., 5.))
+        log_b = sample("log_b", d.Normal(0., 1.))
+        eff_l = sample("eff_l", d.Laplace(mu, jnp.exp(log_b)),
+                       sample_shape=(2,))
+        eff_g = sample("eff_g", d.Gumbel(mu, jnp.exp(log_b)))
+        eff_s = sample("eff_s", d.Logistic(mu, jnp.exp(log_b)))
+        pred = jnp.concatenate([eff_l, eff_g[None], eff_s[None]])
+        sample("y", d.Normal(pred, 1.0), obs=y)
+
+    sites = eligible_sites(model, (y,))
+    assert {"eff_l", "eff_g", "eff_s"} <= set(sites)
+
+    spec = ModelSpec("mixed_ls", model, (y,), {}, "test", ("y",))
+    res = run_experiment(spec, method="ncp", inference="hmc",
+                         num_chains=8, num_warmup=150, num_samples=150,
+                         num_leapfrog_steps=8, seed=0)
+    assert res.summary["rhat_max"] < 1.2
+    assert res.summary["finite_fraction_min"] == 1.0
