@@ -201,8 +201,10 @@ def _make_transition(potential_fn: Callable, cfg: CheesConfig,
         pot = jnp.where(accept, pot1, pot)
         grad = jnp.where(acc2, grad1, grad)
         divergent = -delta > cfg.divergence_threshold
+        # post-accept Hamiltonian (Stan's energy__) — the E-BFMI series
+        energy = jnp.where(accept, e1, e0)
         return (z, pot, grad, accept_prob, chees_grad, chees_val,
-                n_steps, divergent)
+                n_steps, divergent, energy)
 
     return transition
 
@@ -260,7 +262,7 @@ def run_chees(potential_fn: Callable,
         eps = jnp.exp(da.log_eps)
         traj = u * jnp.exp(log_T)
         (z, pot, grad, accept_prob, chees_grad, chees_val, n_steps,
-         _) = transition(z, pot, grad, key, eps, inv_mass, traj, pc)
+         _, _) = transition(z, pot, grad, key, eps, inv_mass, traj, pc)
         # dual averaging on the cross-chain mean acceptance (arithmetic:
         # a harmonic mean is dominated by a few stuck chains and
         # collapses the shared step size; cf. hmc.adapt_step)
@@ -356,7 +358,7 @@ def run_chees(potential_fn: Callable,
     eps_final = jnp.exp(da.log_eps_bar)
     T_final = jnp.exp(log_T)
 
-    samples, (z, pot, grad), (acc, n_steps, div) = sample_chees(
+    samples, (z, pot, grad), (acc, n_steps, div, energy) = sample_chees(
         potential_fn, z, pot, grad, k_samp, cfg.num_samples,
         eps_final, T_final, inv_mass,
         halton_u=halton[cfg.num_warmup:], config=cfg,
@@ -371,6 +373,7 @@ def run_chees(potential_fn: Callable,
         "num_grad_evals_per_sample": jnp.mean(
             n_steps.astype(dtype)),
         "divergences": div,
+        "energy": energy,                         # (S, C)
         "rescued_chains": stuck,
         "warmup_accept": warm_acc,                # (W, C)
         "warmup_T_trace": T_trace,
@@ -394,7 +397,8 @@ def sample_chees(potential_fn: Callable, z, pot, grad, key,
     of the run's Halton sequence starting at its global sample offset
     so the concatenated trajectory is identical to an uninterrupted run.
 
-    Returns (samples, (z, pot, grad), (accept, n_steps, divergent)).
+    Returns (samples, (z, pot, grad), (accept, n_steps, divergent,
+    energy)).
     """
     C, D = z.shape
     dtype = z.dtype
@@ -409,12 +413,12 @@ def sample_chees(potential_fn: Callable, z, pot, grad, key,
         z, pot, grad = carry
         k, u = xs
         traj = u * traj_length
-        (z, pot, grad, accept_prob, _, _, n_steps, div) = transition(
+        (z, pot, grad, accept_prob, _, _, n_steps, div, en) = transition(
             z, pot, grad, k, step_size, inv_mass, traj)
         return (z, pot, grad), (jax.vmap(collect_fn)(z), accept_prob,
-                                n_steps, div)
+                                n_steps, div, en)
 
-    (z, pot, grad), (samples, acc, n_steps, div) = jax.lax.scan(
+    (z, pot, grad), (samples, acc, n_steps, div, energy) = jax.lax.scan(
         sample_step, (z, pot, grad),
         (jax.random.split(key, num_samples), halton_u))
-    return samples, (z, pot, grad), (acc, n_steps, div)
+    return samples, (z, pot, grad), (acc, n_steps, div, energy)
