@@ -388,6 +388,13 @@ def run_experiment(spec: ModelSpec,
         "ess_per_grad_min": float(np.asarray(epg).min()),
         "ess_per_grad_mean": float(np.asarray(epg).mean()),
         "rhat_max": float(np.asarray(summ["rhat"]).max()),
+        # nested R-hat, largest superchain count <= 64 dividing C: the
+        # many-short-chains companion check (Margossian et al. 2024)
+        "nested_rhat_max": (float(np.asarray(dg.nested_rhat(
+            sample_array,
+            max(k for k in range(1, min(64, num_chains) + 1)
+                if num_chains % k == 0))).max())
+            if num_chains >= 2 else None),
         "wall_time_s": wall,
         "ess_per_sec_min": float(np.asarray(ess).min() / wall),
         "num_chains": num_chains,

@@ -215,6 +215,9 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         "ess_min_extrapolated_1024": float(ess_extrap.min()),
         "rhat_max": float(rhat.max()),
         "nested_rhat_max": float(nrhat.max()),
+        "ebfmi_min": (float(np.asarray(
+            dg.ebfmi(stats["energy"])).min())
+            if "energy" in stats else None),
         "converged": bool(rhat.max() < 1.05),
         "wall_s": wall,
         "vi_wall_s": vi_wall,
