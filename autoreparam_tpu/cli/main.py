@@ -57,6 +57,9 @@ flags.DEFINE_float("vi_mass_min_is_ess", 0.002,
                    "the posterior for the q*-variance mass seed to be "
                    "trusted (cvip/dvip); below it warmup starts from "
                    "the identity mass")
+flags.DEFINE_integer("vi_rank", 0,
+                     "low-rank-plus-diagonal q: rank of the covariance "
+                     "factor (0 = mean-field, the reference's choice)")
 flags.DEFINE_integer("num_vi_restarts", 1,
                      "independent VI restarts (vmapped; best final "
                      "ELBO wins) — the joint (q, lambda) objective is "
@@ -115,6 +118,7 @@ def _run_one(spec, num_leapfrog):
         seed=FLAGS.seed, shard=FLAGS.shard,
         vi_mass_min_is_ess=FLAGS.vi_mass_min_is_ess,
         num_vi_restarts=FLAGS.num_vi_restarts,
+        vi_rank=FLAGS.vi_rank,
         vip_lam_tie=FLAGS.vip_lam_tie,
         dvip_refit=FLAGS.dvip_refit,
         chees_criterion=FLAGS.chees_criterion,

@@ -70,10 +70,8 @@ def _vi_is_ess_frac(pot, vi_res, key, n=4096):
     seed traps warmup (importance-*correcting* the seed was tried and
     is no better: from a collapsed proposal the weights never see the
     posterior tails, so the weighted variance stays collapsed)."""
-    eps = jax.random.normal(key, (n, vi_res.loc.shape[-1]))
-    z = vi_res.loc + vi_res.scale * eps
-    log_q = jnp.sum(-0.5 * eps ** 2 - jnp.log(vi_res.scale)
-                    - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1)
+    z = vi_res.sample(key, n)
+    log_q = vi_res.log_q(z)
     log_w = -jax.vmap(pot)(z) - log_q
     log_w = jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf)
     log_w = log_w - jnp.max(log_w)
@@ -111,6 +109,7 @@ def run_experiment(spec: ModelSpec,
                    use_vi_mass: bool = True,
                    vi_mass_min_is_ess: float = 0.002,
                    num_vi_restarts: int = 1,
+                   vi_rank: int = 0,
                    vip_lam_tie: str = "element",
                    dvip_refit: bool = True,
                    chees_criterion: str = "chees_rate"
@@ -151,12 +150,13 @@ def run_experiment(spec: ModelSpec,
                                num_mc_samples=num_mc_samples,
                                learning_rate=learning_rate, key=key,
                                num_restarts=num_restarts,
-                               lam_tie=lam_tie)
+                               lam_tie=lam_tie, q_rank=vi_rank)
         return fit_vi(mdl, args, kwargs, vip_sites=vip_sites,
                       num_steps=num_optimization_steps,
                       num_mc_samples=num_mc_samples,
                       learning_rate=learning_rate, key=key,
-                      num_restarts=num_restarts, lam_tie=lam_tie)
+                      num_restarts=num_restarts, lam_tie=lam_tie,
+                      q_rank=vi_rank)
 
     vi_res = None
     lam = None
@@ -234,8 +234,8 @@ def run_experiment(spec: ModelSpec,
         # mean-field q* can under-disperse the start or under-estimate
         # flat directions' mass on some geometries).
         if use_vi_init:
-            init = _init_chains(k_init, num_chains, info.dim,
-                                loc=vi_res.loc, q_scale=vi_res.scale)
+            # full-q draws (covariance included when q_rank > 0)
+            init = vi_res.sample(k_init, num_chains)
         else:
             init = _init_chains(k_init, num_chains, info.dim)
         if use_vi_mass:
@@ -260,7 +260,7 @@ def run_experiment(spec: ModelSpec,
             vi_is_ess = _vi_is_ess_frac(pot_d, vi_res,
                                         jax.random.fold_in(k_init, 1))
             if vi_is_ess >= vi_mass_min_is_ess:
-                inv_mass = vi_res.scale ** 2
+                inv_mass = vi_res.marginal_scale() ** 2
     else:
         init = _init_chains(k_init, num_chains, info.dim)
 
@@ -435,6 +435,7 @@ def run_experiment(spec: ModelSpec,
         summary["lambda"] = {k: np.asarray(v) for k, v in lam.items()}
     if vi_is_ess is not None:
         summary["vi_is_ess_frac"] = vi_is_ess
+        summary["vi_rank"] = vi_rank
         summary["vi_mass_used"] = bool(inv_mass is not None)
         summary["vi_mass_min_is_ess"] = vi_mass_min_is_ess
     if vi_res is not None:

@@ -38,10 +38,54 @@ _LOG_2PI_E = math.log(2.0 * math.pi) + 1.0
 
 class VIResult(NamedTuple):
     loc: jnp.ndarray          # (D,) q means, unconstrained space
-    scale: jnp.ndarray        # (D,) q stddevs
+    scale: jnp.ndarray        # (D,) q stddevs (diagonal part)
     lam: Dict[str, jnp.ndarray]  # learned λ per VIP site (empty if none)
     elbo_trace: jnp.ndarray   # (num_steps,)
     info: ModelInfo           # latent layout of the (reparameterised) model
+    factor: Optional[jnp.ndarray] = None  # (D, r) low-rank cov factor
+                                          # (q_rank > 0): Σ = diag(σ²)+VVᵀ
+
+    def marginal_scale(self):
+        """Per-dimension posterior stddev of q (what HMC init spread and
+        the q*² diagonal mass should use)."""
+        if self.factor is None:
+            return self.scale
+        return jnp.sqrt(self.scale ** 2
+                        + jnp.sum(self.factor ** 2, axis=-1))
+
+    def sample(self, key, n: int):
+        """n draws from the full q (covariance included when low-rank)."""
+        D = self.loc.shape[-1]
+        if self.factor is None:
+            eps = jax.random.normal(key, (n, D))
+            return self.loc + self.scale * eps
+        k0, k1 = jax.random.split(key)
+        eps0 = jax.random.normal(k0, (n, D))
+        eps1 = jax.random.normal(k1, (n, self.factor.shape[-1]))
+        return self.loc + self.scale * eps0 + eps1 @ self.factor.T
+
+    def log_q(self, z):
+        """log q(z) for (n, D) points (Woodbury/determinant-lemma form
+        when low-rank) — used by the importance-sampling trust check."""
+        D = self.loc.shape[-1]
+        x = z - self.loc
+        if self.factor is None:
+            return jnp.sum(-0.5 * (x / self.scale) ** 2
+                           - jnp.log(self.scale)
+                           - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1)
+        V = self.factor
+        r = V.shape[-1]
+        d_inv = 1.0 / (self.scale ** 2)
+        # K = I_r + Vᵀ D⁻¹ V;  Σ⁻¹ = D⁻¹ − D⁻¹ V K⁻¹ Vᵀ D⁻¹
+        K = jnp.eye(r) + (V * d_inv[:, None]).T @ V
+        L = jnp.linalg.cholesky(K)
+        xd = x * d_inv[None, :]                       # (n, D)
+        u = xd @ V                                    # (n, r)
+        w = jax.scipy.linalg.cho_solve((L, True), u.T).T
+        quad = jnp.sum(xd * x, axis=-1) - jnp.sum(u * w, axis=-1)
+        logdet = (jnp.sum(jnp.log(self.scale ** 2))
+                  + 2.0 * jnp.sum(jnp.log(jnp.diag(L))))
+        return -0.5 * (quad + logdet + D * jnp.log(2.0 * jnp.pi))
 
 
 def _gaussian_entropy(log_scale):
@@ -49,9 +93,17 @@ def _gaussian_entropy(log_scale):
 
 
 def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
-                init_loc, num_mc_samples):
+                init_loc, num_mc_samples, q_rank: int = 0):
     """Shared setup for fit_vi / fit_vi_auto: the (possibly VIP-wrapped)
-    model's latent layout, neutral init, and the MC negative-ELBO."""
+    model's latent layout, neutral init, and the MC negative-ELBO.
+
+    `q_rank > 0` upgrades q from mean-field to low-rank-plus-diagonal
+    N(loc, diag(σ²) + VVᵀ) with V ∈ R^{D×r} (beyond the reference's
+    mean-field surrogate, SURVEY.md §3.1 "VI runner"): draws are
+    loc + σ∘ε₀ + Vε₁ and the entropy adds the determinant-lemma term
+    ½·logdet(I_r + Vᵀdiag(σ⁻²)V).  The pytree only gains the "factor"
+    leaf when q_rank > 0, so rank-0 programs are bit-identical to
+    before (compile-cache stability)."""
     if vip_sites is not None:
         shapes = eligible_sites(model, model_args, model_kwargs)
         missing = [s for s in vip_sites if s not in shapes]
@@ -80,6 +132,11 @@ def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
         # λ init 0.5 (logit 0), the reference's neutral start [M]
         "lam_logit": {s: jnp.zeros(sh) for s, sh in lam_shapes.items()},
     }
+    if q_rank > 0:
+        # small symmetry-breaking init: V = 0 is a stationary point of
+        # the ELBO (E[∇logp·ε₁ᵀ] = 0 there), so start slightly off it
+        params0["factor"] = 0.01 * jax.random.normal(
+            jax.random.PRNGKey(7), (D, q_rank))
 
     def neg_elbo(params, key):
         lam = {s: jax.nn.sigmoid(v)
@@ -87,10 +144,21 @@ def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
         mdl = make_vip_model(model, lam) if vip_sites is not None else model
         pot = make_potential_fn(mdl, info, model_args, model_kwargs)
         scale = jnp.exp(params["log_scale"])
-        eps = jax.random.normal(key, (num_mc_samples, D))
-        z = params["loc"] + scale * eps
+        if q_rank > 0:
+            k0, k1 = jax.random.split(key)
+            eps0 = jax.random.normal(k0, (num_mc_samples, D))
+            eps1 = jax.random.normal(k1, (num_mc_samples, q_rank))
+            z = params["loc"] + scale * eps0 + eps1 @ params["factor"].T
+            vd = params["factor"] * jnp.exp(-params["log_scale"])[:, None]
+            entropy = (_gaussian_entropy(params["log_scale"])
+                       + 0.5 * jnp.linalg.slogdet(
+                           jnp.eye(q_rank) + vd.T @ vd)[1])
+        else:
+            eps = jax.random.normal(key, (num_mc_samples, D))
+            z = params["loc"] + scale * eps
+            entropy = _gaussian_entropy(params["log_scale"])
         e_logp = -jnp.mean(jax.vmap(pot)(z))
-        return -(e_logp + _gaussian_entropy(params["log_scale"]))
+        return -(e_logp + entropy)
 
     return info, params0, neg_elbo, lam_shapes
 
@@ -126,7 +194,8 @@ def fit_vi(model: Callable,
            key=None,
            init_loc: Optional[jnp.ndarray] = None,
            num_restarts: int = 1,
-           lam_tie: str = "element") -> VIResult:
+           lam_tie: str = "element",
+           q_rank: int = 0) -> VIResult:
     """Fit mean-field q; if `vip_sites` is given, the model is rewritten
     into VIP form on those sites and λ is learned jointly (cVIP).
 
@@ -151,7 +220,7 @@ def fit_vi(model: Callable,
 
     info, params0, neg_elbo, lam_shapes = _vi_problem(
         model, model_args, model_kwargs, vip_sites, lam_tie, init_loc,
-        num_mc_samples)
+        num_mc_samples, q_rank)
 
     # Constant LR for 70% of the budget, then a cosine tail to ~0: the
     # tail makes the final (q*, λ*) a near-fixed point of the optimizer
@@ -209,7 +278,8 @@ def fit_vi(model: Callable,
                     scale=jnp.exp(params["log_scale"]),
                     lam=lam,
                     elbo_trace=elbos,
-                    info=info)
+                    info=info,
+                    factor=params.get("factor"))
 
 
 def fit_vi_auto(model: Callable,
@@ -226,7 +296,8 @@ def fit_vi_auto(model: Callable,
                 key=None,
                 init_loc: Optional[jnp.ndarray] = None,
                 num_restarts: int = 1,
-                lam_tie: str = "element") -> VIResult:
+                lam_tie: str = "element",
+                q_rank: int = 0) -> VIResult:
     """fit_vi with the step budget chosen by the ELBO instead of by
     hand: constant-LR chunks of `chunk_steps` run until the mean ELBO
     of a chunk's last 100 steps improves on the previous chunk's by
@@ -249,7 +320,7 @@ def fit_vi_auto(model: Callable,
 
     info, params0, neg_elbo, lam_shapes = _vi_problem(
         model, model_args, model_kwargs, vip_sites, lam_tie, init_loc,
-        num_mc_samples)
+        num_mc_samples, q_rank)
 
     head_opt = optax.adam(learning_rate)
     tail_opt = optax.adam(
@@ -321,7 +392,8 @@ def fit_vi_auto(model: Callable,
                     scale=jnp.exp(p_best["log_scale"]),
                     lam=lam,
                     elbo_trace=elbo_trace,
-                    info=info)
+                    info=info,
+                    factor=p_best.get("factor"))
 
 
 def fit_vip_vi(model: Callable, model_args: tuple = (),

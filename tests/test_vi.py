@@ -156,3 +156,37 @@ def test_fit_vi_auto_plateau_and_quality():
                          num_optimization_steps="auto", seed=0)
     assert res.summary["num_optimization_steps"] < 20000
     assert np.isfinite(res.summary["elbo"])
+
+
+def test_low_rank_vi_recovers_correlated_gaussian():
+    """q_rank=1 must close the mean-field gap on a strongly correlated
+    2-D Gaussian: higher ELBO (by ~the 0.5*log(1-rho^2) KL gap) and
+    near-true marginal scales; log_q matches the dense MVN density."""
+    import scipy.stats as st
+    from autoreparam_tpu import sample, dists as d
+    from autoreparam_tpu.inference.vi import fit_vi
+
+    def model():
+        x = sample("x", d.Normal(0., 1.))
+        sample("y", d.Normal(x, 0.1))
+
+    mf = fit_vi(model, num_steps=2500, key=jax.random.PRNGKey(0))
+    lr = fit_vi(model, num_steps=2500, q_rank=1,
+                key=jax.random.PRNGKey(0))
+    e_mf = float(np.mean(np.asarray(mf.elbo_trace)[-100:]))
+    e_lr = float(np.mean(np.asarray(lr.elbo_trace)[-100:]))
+    assert e_lr > e_mf + 1.5          # mean-field loses ~2.3 nats here
+
+    # mean-field collapses to the conditional scales (~0.1); the
+    # low-rank marginals must recover the true ~1.0
+    assert float(np.asarray(mf.scale).max()) < 0.3
+    ms = np.asarray(lr.marginal_scale())
+    np.testing.assert_allclose(ms, [1.0, np.sqrt(1.01)], rtol=0.2)
+
+    # log_q agrees with the dense multivariate normal
+    z = np.asarray(lr.sample(jax.random.PRNGKey(1), 5))
+    cov = (np.diag(np.asarray(lr.scale) ** 2)
+           + np.asarray(lr.factor) @ np.asarray(lr.factor).T)
+    want = st.multivariate_normal(np.asarray(lr.loc), cov).logpdf(z)
+    np.testing.assert_allclose(np.asarray(lr.log_q(jnp.asarray(z))),
+                               want, rtol=1e-4, atol=1e-3)
