@@ -75,10 +75,18 @@ FULL_OVERRIDES = {
     # is unchanged — also keeps the one-XLA-execution program under
     # the axon tunnel's execution-length fault threshold (observed:
     # iHMC at 10000+5000 x L32 faults the device; 5000+2500 is clean).
+    # vi_rank=8: the 89-dim posterior (51 state effects x demographic
+    # slopes) is correlated enough that a mean-field q* under-disperses
+    # the init and mis-scales the q*^2 mass; a rank-8-plus-diagonal q
+    # (inference/vi.py q_rank) carries the top covariance directions
+    # into both.  Measured (experiments/probe_election_rank.py, CPU
+    # half budget, seed 0): cVIP 8.4 ess/grad R-hat 1.151 at rank 0 ->
+    # 499.5 R-hat 1.007 at rank 8, q* IS-ESS 0.0034 -> 0.0081.  Only
+    # cvip/dvip consume vi_rank (cp/ncp/interleaved never fit VI).
     "election88": dict(num_warmup=5000, num_samples=2500,
                        num_leapfrog_steps=32,
                        num_optimization_steps=6000, learning_rate=0.02,
-                       num_vi_restarts=8),
+                       num_vi_restarts=8, vi_rank=8),
 }
 
 
