@@ -162,3 +162,43 @@ def test_mixed_simplex_and_location_scale_model():
         mw = np.array([res.summary["mean"][names.index(f"w[{i}]")]
                        for i in range(3)])
         np.testing.assert_allclose(mw, post_mean, atol=0.05)
+
+
+def test_vi_rank_flows_into_init_and_mass():
+    """vi_rank>0 (the election88 lever, run_zoo FULL_OVERRIDES) must
+    change what HMC consumes, not just the ELBO: q* carries a low-rank
+    covariance factor, chain init draws from the FULL q (correlated),
+    and the q*^2 mass seed uses the marginal scale diag(sigma^2)+VV^T
+    (pipeline.py:263), which dominates the diagonal leg wherever the
+    factor is non-zero."""
+    import jax
+
+    spec = get_model("eight_schools")
+    res = run_experiment(spec, method="cvip", inference="hmc",
+                         vi_rank=2, **SMALL)
+    s = res.summary
+    assert s["vi_rank"] == 2
+    vi = res.vi
+    D = vi.loc.shape[-1]
+    assert vi.factor is not None and vi.factor.shape == (D, 2)
+    marg = np.asarray(vi.marginal_scale())
+    diag = np.asarray(vi.scale)
+    assert np.all(marg >= diag - 1e-7) and marg.max() > diag.max()
+
+    # full-q draws are correlated exactly as loc + scale*eps0 + eps1@V^T
+    # implies: empirical covariance ~ diag(scale^2) + V V^T, which has
+    # off-diagonal mass a mean-field q cannot produce
+    draws = np.asarray(vi.sample(jax.random.PRNGKey(3), 4096))
+    cov = np.cov(draws.T)
+    target = np.diag(diag ** 2) + np.asarray(vi.factor) @ np.asarray(
+        vi.factor).T
+    off = ~np.eye(D, dtype=bool)
+    assert np.abs(cov[off] - target[off]).max() < 0.15 * (
+        1e-6 + np.abs(target[off]).max() + target.diagonal().max())
+
+    # rank-0 on the same seed is the mean-field baseline: no factor,
+    # marginal scale == diagonal scale (bit-identical program)
+    res0 = run_experiment(spec, method="cvip", inference="hmc",
+                          vi_rank=0, **SMALL)
+    assert res0.vi.factor is None
+    assert res0.summary.get("vi_rank", 0) == 0
