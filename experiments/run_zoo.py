@@ -150,6 +150,11 @@ def main():
                 except Exception:
                     print(f"[zoo] {tag}: ERROR", flush=True)
                     traceback.print_exc()
+                # accumulated compiled executables eventually kill LLVM
+                # mid-compile ("Cannot allocate memory" -> SIGSEGV) on
+                # long sweeps — measured on the full pytest suite and a
+                # 48-run sweep; run_engines.py clears per cell likewise
+                jax.clear_caches()
 
 
 if __name__ == "__main__":
