@@ -45,10 +45,15 @@ def main():
                          "baseline leg")
     ap.add_argument("--results_dir",
                     default=os.path.join(REPO, "results/election_probe"))
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the TPU backend; default pins CPU "
+                         "BEFORE any device query (jax.default_backend() "
+                         "initializes the backend, which hangs for "
+                         "minutes when the axon tunnel is down)")
     args = ap.parse_args()
 
     import jax
-    if jax.default_backend() == "cpu":
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
     from autoreparam_tpu.inference import run_experiment
