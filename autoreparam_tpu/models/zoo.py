@@ -53,9 +53,15 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {}
 #   Exactly one unit entry per row + HIGHEST precision keeps it
 #   bit-exact vs the gather (tests/test_models.py).
 # "gather": plain indexing (the A/B control; experiments/probe_gather_matmul.py).
-# Default stays "gather" until the probe measures a win on the real
-# TPU (the committed bench numbers were measured on this lowering).
-GATHER_IMPL = "gather"
+# "auto" (default): per-call-site choice on idx.size.  Measured on the
+#   real TPU at 8192 chains (results/probe_gather_matmul.json,
+#   2026-08-19): matmul is 2.51x on election88 (obs-level takes,
+#   idx.size 2135), 1.07x on electric (192), but 0.89x on radon (124)
+#   — the one-hot contraction only pays off once the gather is wide
+#   enough.  Threshold 128 reproduces the per-model winner on all
+#   three measured models.
+GATHER_IMPL = "auto"
+_AUTO_MATMUL_MIN_ROWS = 128
 
 
 def take(table, idx, n):
@@ -63,7 +69,10 @@ def take(table, idx, n):
     GATHER_IMPL).  `table` is (n,) inside the model ((chains, n) under
     vmap); `idx` is a constant int array of row ids; returns
     `table[idx]` elementwise-exactly."""
-    if GATHER_IMPL == "gather":
+    impl = GATHER_IMPL
+    if impl == "auto":
+        impl = "matmul" if int(idx.size) >= _AUTO_MATMUL_MIN_ROWS else "gather"
+    if impl == "gather":
         return table[idx]
     onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
     return jnp.matmul(onehot.astype(table.dtype), table,

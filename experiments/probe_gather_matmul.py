@@ -48,7 +48,7 @@ def main():
     results = {}
     for model_name in args.models.split(","):
         dataset = "MN" if model_name == "radon" else None
-        for impl in ("gather", "matmul"):
+        for impl in ("gather", "matmul", "auto"):
             zoo.GATHER_IMPL = impl
             spec = get_model(model_name, dataset)
             info = get_model_info(spec.model, spec.args)
@@ -84,8 +84,9 @@ def main():
                   f"  wall={wall:.3f}s  compile={compile_s:.1f}s",
                   flush=True)
         g, m = results[(model_name, "gather")], results[(model_name, "matmul")]
-        print(f"[{model_name:>10s}  -----] matmul is {g / m:.2f}x "
-              f"the gather path", flush=True)
+        a = results[(model_name, "auto")]
+        print(f"[{model_name:>10s}  -----] matmul is {g / m:.2f}x, "
+              f"auto is {g / a:.2f}x the gather path", flush=True)
 
     out_path = os.path.join(REPO, "results", "probe_gather_matmul.json")
     with open(out_path, "w") as f:
