@@ -129,9 +129,33 @@ def run_interleaved_hmc(model: Callable,
     v_to_ncp = jax.vmap(to_ncp)
     v_to_cp = jax.vmap(to_cp)
 
-    def outer_step(z_cp, key, ss_cp, ss_ncp, im_cp, im_ncp):
+    # Pooled-warmup mitigations, mirroring run_hmc (knob parity across
+    # engines): a fully pooled step size gives every chain the same
+    # near-periodic trajectory (resonance, Neal 2011 §5.4) and no
+    # per-chain escape hatch for a chain stuck at ~zero acceptance —
+    # both measured on HMC (hmc.HMCConfig.step_jitter docstring,
+    # rescue_stuck_chains).  iHMC has TWO pooled kernels, so jitter
+    # draws independent factors per kernel and the rescue treats a
+    # chain as stuck if EITHER coordinate system's acceptance died
+    # (one dead kernel blocks the alternation).
+    share_step = (config.share_adaptation is True
+                  or config.share_adaptation == "all")
+    jitter = config.step_jitter if share_step else 0.0
+
+    def _jittered(step_size, key):
+        if jitter <= 0:
+            return step_size
+        u = jax.random.uniform(key, (C,), minval=1.0 - jitter,
+                               maxval=1.0 + jitter)
+        return step_size * u
+
+    def outer_step(z_cp, key, ss_cp, ss_ncp, im_cp, im_ncp,
+                   jitter_steps: bool):
         """One interleaved transition in CP coordinates."""
-        k1, k2 = jax.random.split(key)
+        k1, k2, kj1, kj2 = jax.random.split(key, 4)
+        if jitter_steps:
+            ss_cp = _jittered(ss_cp, kj1)
+            ss_ncp = _jittered(ss_ncp, kj2)
         pot0, grad0 = pg_cp(z_cp)
         st = H.HMCState(z_cp, pot0, grad0)
         st, info_a = kern_cp(st, jax.random.split(k1, C), ss_cp, im_cp)
@@ -158,7 +182,8 @@ def run_interleaved_hmc(model: Callable,
         z, da_cp, da_ncp, wf_cp, wf_ncp, im_cp, im_ncp = carry
         key, slow, end = xs
         z, ia, ib = outer_step(z, key, jnp.exp(da_cp.log_eps),
-                               jnp.exp(da_ncp.log_eps), im_cp, im_ncp)
+                               jnp.exp(da_ncp.log_eps), im_cp, im_ncp,
+                               config.step_jitter_warmup)
         # each inner kernel adapts in its own coordinate system, through
         # the shared machinery (incl. pooled/"mass" cross-chain modes)
         da_cp, wf_cp, im_cp = H.adapt_step(
@@ -171,12 +196,14 @@ def run_interleaved_hmc(model: Callable,
             end, target_accept=config.target_accept,
             adapt_mass=config.adapt_mass,
             share=config.share_adaptation)
-        return (z, da_cp, da_ncp, wf_cp, wf_ncp, im_cp, im_ncp), None
+        return ((z, da_cp, da_ncp, wf_cp, wf_ncp, im_cp, im_ncp),
+                (ia.accept_prob, ib.accept_prob))
 
     key, kw, ks = jax.random.split(key, 3)
     z0 = init_positions
     if config.num_warmup > 0:
-        (z0, da_cp0, da_ncp0, _, _, im_cp0, im_ncp0), _ = jax.lax.scan(
+        ((z0, da_cp0, da_ncp0, _, _, im_cp0, im_ncp0),
+         (warm_acc_cp, warm_acc_ncp)) = jax.lax.scan(
             warm_step,
             (z0, da_cp0, da_ncp0, wf0, wf0, im_cp0, im_ncp0),
             (jax.random.split(kw, config.num_warmup), is_slow, is_end))
@@ -185,14 +212,24 @@ def run_interleaved_hmc(model: Callable,
     else:
         # mirror run_hmc's zero-warmup guard: log_eps_bar starts at 0, so
         # exp() would silently override config.init_step_size with 1.0
+        warm_acc_cp = warm_acc_ncp = jnp.zeros((0, C), dtype)
         ss_cp = jnp.full((C,), config.init_step_size, dtype)
         ss_ncp = jnp.full((C,), config.init_step_size, dtype)
+
+    stuck = jnp.zeros((C,), bool)
+    if share_step and config.num_warmup > 0:
+        # a chain is stuck if EITHER kernel's recent acceptance died —
+        # the alternation makes no progress through a dead system
+        z0, stuck = H.rescue_stuck_chains(
+            z0, jnp.minimum(warm_acc_cp, warm_acc_ncp),
+            jax.random.fold_in(key, 7))
 
     if collect_fn is None:
         collect_fn = lambda z: z  # noqa: E731
 
     def sample_step(z, key):
-        z, ia, ib = outer_step(z, key, ss_cp, ss_ncp, im_cp0, im_ncp0)
+        z, ia, ib = outer_step(z, key, ss_cp, ss_ncp, im_cp0, im_ncp0,
+                               True)
         return z, (jax.vmap(collect_fn)(z), ia.accept_prob,
                    ib.accept_prob)
 
@@ -206,6 +243,7 @@ def run_interleaved_hmc(model: Callable,
         "step_size_ncp": ss_ncp,
         "accept_prob_cp": acc_cp,
         "accept_prob_ncp": acc_ncp,
+        "rescued_chains": stuck,
         "num_grad_evals_per_sample": 2 * config.num_leapfrog_steps,
     }
     return samples, stats

@@ -138,6 +138,55 @@ def test_sharded_interleaved_runs():
     np.testing.assert_allclose(m1, m2, atol=0.25)
 
 
+def test_sharded_interleaved_pooled_jitter_and_rescue():
+    """Pooled-warmup iHMC mitigations (VERDICT r3 task 8): knob parity
+    with HMC/NUTS/ChEES/GHMC — sampling-phase step jitter on both inner
+    kernels and end-of-warmup stuck-chain rescue, flowing through the
+    sharded runner.  Correctness contract: invariance holds for any
+    fixed ε per transition, so pooled+jitter must still recover the
+    posterior; the rescue mask is part of stats."""
+    from autoreparam_tpu.core.messenger import sample
+    from autoreparam_tpu import dists as d
+    from autoreparam_tpu.parallel import run_interleaved_sharded
+    from autoreparam_tpu.inference.interleaved import run_interleaved_hmc
+
+    y = jnp.asarray([0.3, -0.2, 0.9, 0.4])
+
+    def hier(y):
+        mu = sample("mu", d.Normal(0.0, 2.0))
+        tau = sample("tau", d.LogNormal(0.0, 1.0))
+        theta = sample("theta", d.Normal(mu, tau), sample_shape=(4,))
+        sample("obs", d.Normal(theta, 0.5), obs=y)
+
+    mesh = make_mesh()
+    C = 16
+    key = jax.random.PRNGKey(9)
+    init = 0.3 * jax.random.normal(key, (C, 6))
+    cfg = HMCConfig(num_warmup=150, num_samples=150,
+                    num_leapfrog_steps=4, share_adaptation=True,
+                    step_jitter=0.2)
+    samples, stats = run_interleaved_sharded(hier, init, key, cfg, mesh,
+                                             model_args=(y,))
+    assert samples.shape == (150, C, 6)
+    assert stats["rescued_chains"].shape == (C,)
+    ss = np.asarray(stats["step_size_cp"])
+    np.testing.assert_allclose(ss, ss[0])  # pooled base step: identical
+    # posterior agrees with the unsharded per-chain-adaptation run
+    s2, _ = run_interleaved_hmc(
+        hier, init, key, cfg._replace(share_adaptation=False),
+        model_args=(y,))
+    m1 = np.asarray(samples).reshape(-1, 6).mean(0)
+    m2 = np.asarray(s2).reshape(-1, 6).mean(0)
+    np.testing.assert_allclose(m1, m2, atol=0.25)
+    # jitter off vs on: different trajectories, same posterior
+    s3, _ = run_interleaved_hmc(hier, init, key,
+                                cfg._replace(step_jitter=0.0),
+                                model_args=(y,))
+    assert not np.allclose(np.asarray(s3), np.asarray(samples))
+    np.testing.assert_allclose(
+        np.asarray(s3).reshape(-1, 6).mean(0), m1, atol=0.25)
+
+
 def test_nuts_pooled_adaptation():
     """run_nuts(share_adaptation=True): pooled warmup converges on the
     funnel-NCP-like quadratic and yields one shared step size."""
