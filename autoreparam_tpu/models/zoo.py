@@ -69,6 +69,18 @@ def take(table, idx, n):
     GATHER_IMPL).  `table` is (n,) inside the model ((chains, n) under
     vmap); `idx` is a constant int array of row ids; returns
     `table[idx]` elementwise-exactly."""
+    # idx is constant data, so validate at trace time: out-of-range rows
+    # would CLAMP on the gather path (JAX default) but yield 0 on the
+    # one-hot matmul path — a silent divergence between lowerings.
+    # (Skipped for traced idx — e.g. election88's age*n_edu+edu derived
+    # inside the jit trace — where concretization is impossible; all
+    # such call sites derive from validated constant inputs.)
+    if not isinstance(idx, jax.core.Tracer):
+        idx_np = np.asarray(idx)
+        if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= n):
+            raise ValueError(
+                f"take(): index out of range [0, {n}) — min "
+                f"{idx_np.min()}, max {idx_np.max()}")
     impl = GATHER_IMPL
     if impl == "auto":
         impl = "matmul" if int(idx.size) >= _AUTO_MATMUL_MIN_ROWS else "gather"
@@ -343,10 +355,14 @@ def _election88_effects(n_states, n_age, n_edu, n_region, region,
                              + b_v_prev * v_prev, sigma_a))
 
     def logits_for(state, female, black, age, edu):
+        # combined age×edu index in numpy so it stays a trace-time
+        # constant (jnp arithmetic on constants inside a trace yields a
+        # tracer, which would skip take()'s bounds validation)
+        ae = np.asarray(age) * n_edu + np.asarray(edu)
         return (take(a, state, region.shape[0])
                 + b_female * female + b_black * black
                 + take(a_age, age, n_age) + take(a_edu, edu, n_edu)
-                + take(a_ae, age * n_edu + edu, n_age * n_edu))
+                + take(a_ae, ae, n_age * n_edu))
 
     return logits_for
 

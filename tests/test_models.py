@@ -155,8 +155,29 @@ def test_take_matmul_matches_gather(name):
         u_m, g_m = jax.vmap(jax.value_and_grad(pot))(z)
         zoo.GATHER_IMPL = "gather"
         u_g, g_g = jax.vmap(jax.value_and_grad(pot))(z)
+        # "auto" dispatches per call site (mixed impls within one model,
+        # threshold at _AUTO_MATMUL_MIN_ROWS) and must stay bit-exact
+        # too — election88 exercises both narrow and wide takes
+        zoo.GATHER_IMPL = "auto"
+        u_a, g_a = jax.vmap(jax.value_and_grad(pot))(z)
     finally:
         zoo.GATHER_IMPL = old
     np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_g), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g), rtol=1e-5,
                                atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_g), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_g), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_take_rejects_out_of_range_indices():
+    """The one-hot matmul path yields 0 for out-of-range rows while the
+    gather path clamps (JAX default) — silently different results; take()
+    therefore validates its constant idx at trace time."""
+    from autoreparam_tpu.models import zoo
+
+    table = jnp.arange(4.0)
+    with pytest.raises(ValueError, match="out of range"):
+        zoo.take(table, np.array([0, 4]), 4)
+    with pytest.raises(ValueError, match="out of range"):
+        zoo.take(table, np.array([-1, 2]), 4)
