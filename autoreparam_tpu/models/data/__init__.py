@@ -12,6 +12,17 @@ zoo.py) and the funnel is analytic.
 
 Arrays are cached as .npz next to this file so every run and every test
 sees byte-identical data.
+
+**Real-data drop-in path**: the synthetic stand-ins are swappable the
+day the real files exist, with no code change.  `_cache` first looks
+for `$AUTOREPARAM_TPU_DATA_DIR/<name>.npz`, then `<name>_real.npz`
+next to this file; if found, it is loaded instead of the stand-in
+(key schema validated against the synthetic builder's).  To migrate
+the true datasets: convert each (srrs2.dat, german.data, the CBS
+polls + G&H v.prev table, the electric-company table) to an .npz with
+the keys documented on each loader below and drop it in — group sizes
+and index ranges may differ freely; every model reads its shapes from
+the arrays.
 """
 
 from __future__ import annotations
@@ -37,7 +48,28 @@ RADON_STATES = {
 }
 
 
+def _real_data_candidates(name: str):
+    env_dir = os.environ.get("AUTOREPARAM_TPU_DATA_DIR")
+    if env_dir:
+        yield os.path.join(env_dir, name + ".npz")
+    yield os.path.join(_DIR, name + "_real.npz")
+
+
 def _cache(name: str, builder) -> Dict[str, np.ndarray]:
+    # real-data drop-in (see module docstring): a real .npz with the
+    # same key schema takes precedence over the synthetic stand-in
+    for real_path in _real_data_candidates(name):
+        if os.path.exists(real_path):
+            with np.load(real_path) as f:
+                real = {k: f[k] for k in f.files}
+            want = set(builder().keys())
+            got = set(real.keys())
+            if got != want:
+                raise ValueError(
+                    f"real dataset {real_path} key schema mismatch: "
+                    f"missing {sorted(want - got)}, "
+                    f"unexpected {sorted(got - want)}")
+            return real
     path = os.path.join(_DIR, name + ".npz")
     if os.path.exists(path):
         with np.load(path) as f:
