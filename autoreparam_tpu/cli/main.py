@@ -71,6 +71,12 @@ flags.DEFINE_bool("dvip_refit", True,
                   "re-fit q on the thresholded model before the dVIP "
                   "HMC phase (init/mass must describe the model "
                   "actually sampled)")
+flags.DEFINE_float("dvip_threshold", 0.5,
+                   "dVIP lambda cut (reference: 0.5); > 0.5 rounds "
+                   "ambiguous sites toward the robust NCP side")
+flags.DEFINE_float("dvip_keep_band", 0.0,
+                   "keep lambda elements within this band of 0.5 at "
+                   "their continuous value (cVIP/dVIP hybrid; 0 = off)")
 flags.DEFINE_list("leapfrog_sweep", None,
                   "sweep --num_leapfrog_steps over these values "
                   "(reference main.py's sweep loop), e.g. 2,4,8,16")
@@ -121,6 +127,8 @@ def _run_one(spec, num_leapfrog):
         vi_rank=FLAGS.vi_rank,
         vip_lam_tie=FLAGS.vip_lam_tie,
         dvip_refit=FLAGS.dvip_refit,
+        dvip_threshold=FLAGS.dvip_threshold,
+        dvip_keep_band=FLAGS.dvip_keep_band,
         chees_criterion=FLAGS.chees_criterion,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])

@@ -112,6 +112,8 @@ def run_experiment(spec: ModelSpec,
                    vi_rank: int = 0,
                    vip_lam_tie: str = "element",
                    dvip_refit: bool = True,
+                   dvip_threshold: float = 0.5,
+                   dvip_keep_band: float = 0.0,
                    chees_criterion: str = "chees_rate"
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
@@ -174,7 +176,8 @@ def run_experiment(spec: ModelSpec,
                       lam_tie=vip_lam_tie)
         lam = vi_res.lam
         if method == "dvip":
-            lam = discretize_lambda(lam)
+            lam = discretize_lambda(lam, threshold=dvip_threshold,
+                                    keep_band=dvip_keep_band)
         sampled_model = make_vip_model(model, lam)
         if method == "dvip" and dvip_refit:
             # Thresholding λ changes the model the HMC phase samples;
@@ -408,6 +411,8 @@ def run_experiment(spec: ModelSpec,
         "num_vi_restarts": num_vi_restarts,
         "vip_lam_tie": vip_lam_tie,
         "dvip_refit": bool(dvip_refit),
+        "dvip_threshold": (dvip_threshold if method == "dvip" else None),
+        "dvip_keep_band": (dvip_keep_band if method == "dvip" else None),
         "num_optimization_steps": (
             int(vi_res.elbo_trace.shape[0]) if vi_auto and vi_res is not None
             else num_optimization_steps),

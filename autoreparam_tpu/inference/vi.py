@@ -404,7 +404,26 @@ def fit_vip_vi(model: Callable, model_args: tuple = (),
 
 
 def discretize_lambda(lam: Dict[str, jnp.ndarray],
-                      threshold: float = 0.5) -> Dict[str, jnp.ndarray]:
+                      threshold: float = 0.5,
+                      keep_band: float = 0.0) -> Dict[str, jnp.ndarray]:
     """dVIP: λ → {0,1} (reference thresholds at 0.5, SURVEY.md §3.1 [M]),
-    so each variable is purely CP or NCP."""
-    return {s: (v > threshold).astype(v.dtype) for s, v in lam.items()}
+    so each variable is purely CP or NCP.
+
+    `threshold` moves the cut: mid-λ elements are ones the ELBO was
+    nearly indifferent about, but the *sampler* cost is asymmetric —
+    rounding a genuinely-partial site to CP can recreate the funnel on
+    its scale hyper-parameter (measured on election88: λ(a_edu)≈0.5,
+    λ(a_age)≈0.72 → thresholded-to-CP dVIP collapses to 7.8 ess/grad
+    while NCP holds ~400; log(sigma_edu) is the dying coordinate).  A
+    threshold > 0.5 rounds toward the robust NCP side unless the ELBO
+    was confidently centered.
+
+    `keep_band > 0` keeps elements with |λ − 0.5| < keep_band at their
+    continuous value (a cVIP/dVIP hybrid): only confident elements are
+    snapped, the ambiguous ones keep the learned interpolation."""
+    def one(v):
+        hard = (v > threshold).astype(v.dtype)
+        if keep_band > 0.0:
+            return jnp.where(jnp.abs(v - 0.5) < keep_band, v, hard)
+        return hard
+    return {s: one(v) for s, v in lam.items()}

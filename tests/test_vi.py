@@ -71,6 +71,14 @@ def test_discretize_lambda():
     dl = discretize_lambda(lam)
     np.testing.assert_array_equal(np.asarray(dl["a"]), [0.0, 1.0, 0.0])
     assert float(dl["b"]) == 1.0
+    # threshold > 0.5: ambiguous elements round toward NCP
+    dl = discretize_lambda(lam, threshold=0.75)
+    np.testing.assert_array_equal(np.asarray(dl["a"]), [0.0, 0.0, 0.0])
+    assert float(dl["b"]) == 1.0
+    # keep_band: mid elements stay continuous, confident ones snap
+    dl = discretize_lambda(lam, keep_band=0.25)
+    np.testing.assert_allclose(np.asarray(dl["a"]), [0.0, 0.7, 0.5])
+    assert float(dl["b"]) == 1.0
 
 
 def test_radon_lambda_tracks_identifiability():
