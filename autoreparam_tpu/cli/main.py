@@ -77,6 +77,12 @@ flags.DEFINE_float("dvip_threshold", 0.5,
 flags.DEFINE_float("dvip_keep_band", 0.0,
                    "keep lambda elements within this band of 0.5 at "
                    "their continuous value (cVIP/dVIP hybrid; 0 = off)")
+flags.DEFINE_bool("tail_transport", False,
+                  "Gaussian tail transport on heavy-tailed scale sites "
+                  "(sigma ~ HalfCauchy becomes a standard-normal latent "
+                  "pushed through the prior quantile) — fixes the "
+                  "E-BFMI < 0.3 heavy-tail energy pathology that "
+                  "CP/NCP/VIP cannot touch on constant-parameter priors")
 flags.DEFINE_list("leapfrog_sweep", None,
                   "sweep --num_leapfrog_steps over these values "
                   "(reference main.py's sweep loop), e.g. 2,4,8,16")
@@ -129,6 +135,7 @@ def _run_one(spec, num_leapfrog):
         dvip_refit=FLAGS.dvip_refit,
         dvip_threshold=FLAGS.dvip_threshold,
         dvip_keep_band=FLAGS.dvip_keep_band,
+        tail_transport=FLAGS.tail_transport,
         chees_criterion=FLAGS.chees_criterion,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])

@@ -173,6 +173,22 @@ class HalfCauchy(Distribution):
         return (math.log(2.0 / math.pi) - jnp.log(self.scale)
                 - jnp.log1p(z * z))
 
+    def transport_from_normal(self, z):
+        """Gaussian tail transport F⁻¹(Φ(z)): maps z ~ N(0,1) exactly to
+        this HalfCauchy (reparam.strategies.TailTransport).
+
+        F⁻¹(u) = s·tan(πu/2); computed via the complement
+        1−Φ(z) = ½·erfc(z/√2) so the right tail (where tan(πu/2)
+        diverges as u→1) stays f32-stable: x = s / tan(π·(1−Φ(z))/2).
+        Returns (value, log_value) — the log form feeds log-space
+        readouts/diagnostics (recover_fn), mirroring the exp-map sites.
+        """
+        uc = 0.5 * jax.scipy.special.erfc(z / math.sqrt(2.0))
+        t = jnp.tan(0.5 * jnp.pi * uc)
+        x = self.scale / t
+        log_x = jnp.log(self.scale) - jnp.log(t)
+        return x, log_x
+
 
 class LogNormal(Distribution):
     """exp(Normal(loc, scale)).  Exposes the underlying normal's

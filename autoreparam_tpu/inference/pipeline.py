@@ -114,6 +114,7 @@ def run_experiment(spec: ModelSpec,
                    dvip_refit: bool = True,
                    dvip_threshold: float = 0.5,
                    dvip_keep_band: float = 0.0,
+                   tail_transport: bool = False,
                    chees_criterion: str = "chees_rate"
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
@@ -139,6 +140,15 @@ def run_experiment(spec: ModelSpec,
     key = jax.random.PRNGKey(seed)
     k_vi, k_init, k_run = jax.random.split(key, 3)
     model, args, kwargs = spec.model, spec.args, spec.kwargs
+
+    if tail_transport:
+        # Gaussian tail transport on heavy-tailed scale sites (σ ~
+        # HalfCauchy): applied FIRST, so every method below (incl. the
+        # VI phase and iHMC's dual systems) sees the transported model;
+        # the remaining location-scale sites stay CP/NCP/VIP-eligible.
+        from ..reparam import make_tail_transport_model
+        model = make_tail_transport_model(model, model_args=args,
+                                          model_kwargs=kwargs)
 
     # num_optimization_steps="auto" (or -1): plateau-gated VI budget
     # (vi.fit_vi_auto) instead of a hand-picked step count
@@ -413,6 +423,7 @@ def run_experiment(spec: ModelSpec,
         "dvip_refit": bool(dvip_refit),
         "dvip_threshold": (dvip_threshold if method == "dvip" else None),
         "dvip_keep_band": (dvip_keep_band if method == "dvip" else None),
+        "tail_transport": bool(tail_transport),
         "num_optimization_steps": (
             int(vi_res.elbo_trace.shape[0]) if vi_auto and vi_res is not None
             else num_optimization_steps),

@@ -18,10 +18,12 @@ from ..core import handlers
 from ..core.interpreters import ModelInfo
 from ..core.messenger import Messenger, SampleMessage
 from . import strategies
-from .strategies import AUX_SUFFIX, CP, NCP, VIP, ReparamStrategy
+from .strategies import (AUX_SUFFIX, CP, NCP, VIP, ReparamStrategy,
+                         TailTransport)
 
-__all__ = ["reparam", "eligible_sites", "make_ncp_model", "make_vip_model",
-           "make_cp_model", "recover_fn"]
+__all__ = ["reparam", "eligible_sites", "transport_sites",
+           "make_ncp_model", "make_vip_model", "make_cp_model",
+           "make_tail_transport_model", "recover_fn"]
 
 
 class reparam(Messenger):
@@ -70,7 +72,33 @@ def eligible_sites(model: Callable, model_args: tuple = (),
     for name, site in sites.items():
         if site.observed or site.is_deterministic:
             continue
+        if site.metadata.get("aux_of"):
+            continue  # auxiliaries of an inner rewrite (e.g. transport)
         if strategies.is_eligible(site.dist):
+            out[name] = tuple(jnp.shape(site.value))
+    return out
+
+
+def transport_sites(model: Callable, model_args: tuple = (),
+                    model_kwargs: Optional[dict] = None,
+                    seed: int = 0):
+    """Names and shapes of latent sites eligible for the Gaussian tail
+    transport (heavy-tailed scale priors; strategies.TailTransport)."""
+    import collections
+
+    import jax
+
+    model_kwargs = model_kwargs or {}
+    tr = handlers.trace(
+        handlers.seed(model, key=jax.random.PRNGKey(seed)))
+    sites = tr.get_trace(*model_args, **model_kwargs)
+    out = collections.OrderedDict()
+    for name, site in sites.items():
+        if site.observed or site.is_deterministic:
+            continue
+        if site.metadata.get("aux_of"):
+            continue
+        if strategies.is_transport_eligible(site.dist):
             out[name] = tuple(jnp.shape(site.value))
     return out
 
@@ -87,6 +115,21 @@ def make_ncp_model(model: Callable, sites=None,
     if sites is None:
         sites = list(eligible_sites(model, model_args, model_kwargs))
     cfg = {name: NCP() for name in sites}
+    return reparam(model, config=cfg)
+
+
+def make_tail_transport_model(model: Callable, sites=None,
+                              model_args: tuple = (),
+                              model_kwargs: Optional[dict] = None
+                              ) -> Callable:
+    """Rewrite `sites` (default: all transport-eligible latents — heavy-
+    tailed scale priors like HalfCauchy) into Gaussian-tail-transport
+    form (strategies.TailTransport).  Composes with CP/NCP/VIP: apply
+    the transport first, then reparameterise the remaining
+    location-scale sites of the wrapped model."""
+    if sites is None:
+        sites = list(transport_sites(model, model_args, model_kwargs))
+    cfg = {name: TailTransport() for name in sites}
     return reparam(model, config=cfg)
 
 

@@ -37,8 +37,9 @@ import jax.numpy as jnp
 from .. import dists as d
 from ..core.messenger import sample
 
-__all__ = ["ReparamStrategy", "CP", "NCP", "VIP", "AUX_SUFFIX",
-           "is_eligible", "aux_name"]
+__all__ = ["ReparamStrategy", "CP", "NCP", "VIP", "TailTransport",
+           "AUX_SUFFIX", "is_eligible", "is_transport_eligible",
+           "aux_name"]
 
 #: Suffix appended to the original site name for the auxiliary latent.
 AUX_SUFFIX = "::base"
@@ -56,6 +57,13 @@ def is_eligible(dist) -> bool:
             or hasattr(dist, "base_loc_scale")
             or getattr(dist, "matrix_loc_scale", lambda: None)()
             is not None)
+
+
+def is_transport_eligible(dist) -> bool:
+    """A site can be Gaussian-tail-transported if its distribution
+    exposes `transport_from_normal` (a stable F⁻¹∘Φ; heavy-tailed scale
+    families like HalfCauchy)."""
+    return hasattr(dist, "transport_from_normal")
 
 
 def _matrix_loc_scale(dist):
@@ -128,6 +136,40 @@ class NCP(ReparamStrategy):
         if msg is not None and push is jnp.exp:
             msg.metadata["log_value"] = z
         return push(z)
+
+
+class TailTransport(ReparamStrategy):
+    """Gaussian tail transport: ẑ ~ N(0,1), z = F⁻¹(Φ(ẑ)).
+
+    CP/NCP/VIP fix parent↔child *funnels*, but a heavy-tailed scale
+    prior with constant parameters (σ ~ HalfCauchy(1), the standard
+    weakly-informative choice) has nothing to non-center — its
+    unconstrained log-σ coordinate keeps exponential tails, whose
+    energy marginal the Gaussian momentum refresh cannot traverse
+    (Stan's E-BFMI < 0.3 pathology; Betancourt 2016 arXiv:1604.00695).
+    The transport replaces the site with a *standard normal* latent and
+    pushes it through the prior's quantile, making the unconstrained
+    geometry Gaussian in the prior-dominated regime.  No Jacobian terms
+    appear for the same reason as NCP/VIP: the joint density is taken
+    over ẑ, whose prior is exactly N(0,1) by construction of the
+    transport map.
+
+    Beyond the reference (its TF1 code had no transport machinery);
+    eligibility is `dist.transport_from_normal` (dists.HalfCauchy).
+    """
+
+    def apply(self, name, dist, sample_shape, msg=None):
+        transport = getattr(dist, "transport_from_normal", None)
+        if transport is None:
+            return None
+        shape = tuple(sample_shape) + tuple(dist.batch_shape)
+        aux = sample(aux_name(name),
+                     d.Normal(jnp.zeros(shape), jnp.ones(shape)),
+                     _metadata={"aux_of": name, "strategy": "tail"})
+        value, log_value = transport(aux)
+        if msg is not None and log_value is not None:
+            msg.metadata["log_value"] = log_value
+        return value
 
 
 class VIP(ReparamStrategy):

@@ -236,3 +236,63 @@ def test_vip_aux_shape_with_sample_shape_sites():
     info2 = get_model_info(vip2, (y,))
     shapes2 = {s.name: s.shape for s in info2.latents}
     assert shapes2[aux_name("theta")] == (8,), shapes2
+
+
+def test_tail_transport_matches_halfcauchy_quantile():
+    """transport_from_normal is exactly F⁻¹∘Φ (scipy oracle), stable
+    deep into the right tail, with log_value = log(value)."""
+    import scipy.stats as st
+
+    z = jnp.asarray([-3.0, -1.0, 0.0, 1.0, 3.0, 6.0], jnp.float32)
+    hc = d.HalfCauchy(2.0)
+    x, log_x = hc.transport_from_normal(z)
+    want = st.halfcauchy.ppf(st.norm.cdf(np.asarray(z, np.float64)),
+                             scale=2.0)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(log_x), np.log(want), rtol=1e-4)
+    # gradient is finite everywhere probed
+    g = jax.vmap(jax.grad(lambda zz: hc.transport_from_normal(zz)[1]))(z)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_tail_transport_model_structure_and_posterior():
+    """make_tail_transport_model replaces a HalfCauchy site with a
+    standard-normal aux + deterministic record; the posterior over the
+    model-space coordinates is unchanged (same model, different
+    coordinates)."""
+    from autoreparam_tpu.reparam import (make_tail_transport_model,
+                                         transport_sites, eligible_sites)
+    from autoreparam_tpu.inference import HMCConfig, run_hmc
+    from autoreparam_tpu.core import get_model_info, make_potential_fn
+    from autoreparam_tpu.reparam.handler import recover_fn
+
+    y = jnp.asarray([0.5, -0.3, 1.2, 0.8, -0.1, 0.4], jnp.float32)
+
+    def m(y):
+        mu = sample("mu", d.Normal(0.0, 2.0))
+        tau = sample("tau", d.HalfCauchy(1.0))
+        sample("obs", d.Normal(mu, tau), obs=y)
+
+    assert list(transport_sites(m, (y,))) == ["tau"]
+    tm = make_tail_transport_model(m, model_args=(y,))
+    # the transport aux must NOT look NCP/VIP-eligible
+    assert aux_name("tau") not in eligible_sites(tm, (y,))
+    assert "mu" in eligible_sites(tm, (y,))
+
+    def run(model):
+        info = get_model_info(model, (y,))
+        pot = make_potential_fn(model, info, (y,))
+        collect = recover_fn(model, info, (y,))
+        key = jax.random.PRNGKey(0)
+        init = 0.3 * jax.random.normal(key, (16, info.dim))
+        cfg = HMCConfig(num_warmup=400, num_samples=400,
+                        num_leapfrog_steps=8)
+        samples, _ = run_hmc(pot, init, key, cfg, collect_fn=collect)
+        return {k: float(np.asarray(v).mean()) for k, v in samples.items()}
+
+    base = run(m)
+    trans = run(tm)
+    assert set(base) == set(trans) == {"mu", "log(tau)"}
+    np.testing.assert_allclose(trans["mu"], base["mu"], atol=0.1)
+    np.testing.assert_allclose(trans["log(tau)"], base["log(tau)"],
+                               atol=0.15)
