@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Probe: why does election88 dVIP collapse (VERDICT r3 weak #5), and
+does a different discretisation rule fix it?
+
+Measured cause hypothesis: the learned λ* sits mid-range on the small
+hierarchical blocks (λ(a_edu)≈0.5, λ(a_age)≈0.72, λ(a)∈[0.02,0.95])
+and the 0.5 threshold rounds them to CP — recreating the funnel on
+their scale hyper-parameters (log(sigma_edu) is the dying coordinate
+in every committed dVIP run, ess≈600 at R-hat>1.05) while plain NCP
+holds ~400 ess/grad.  If so, rounding ambiguous sites toward NCP
+(threshold>0.5) or keeping them continuous (keep_band) should recover
+NCP-level performance.
+
+    python experiments/probe_dvip_threshold.py [--seeds 0,1] [--quick]
+
+Writes results/election_probe/dvip_threshold.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# (threshold, keep_band) variants; 1.01 = all-NCP control
+VARIANTS = [
+    ("t0.5", dict(dvip_threshold=0.5)),            # reference rule
+    ("t0.8", dict(dvip_threshold=0.8)),            # round toward NCP
+    ("t1.01", dict(dvip_threshold=1.01)),          # all-NCP control
+    ("band0.3", dict(dvip_threshold=0.5, dvip_keep_band=0.3)),  # hybrid
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="0,1")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "results", "election_probe", "dvip_threshold.json"))
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
+    from autoreparam_tpu.inference import run_experiment
+    from autoreparam_tpu.models import get_model
+
+    spec = get_model("election88")
+    # the zoo FULL_OVERRIDES budget for election88 (run_zoo.py), minus
+    # vi_rank (rank-8 evidence is mixed at full budget; the probe keeps
+    # the one preset layer under test isolated)
+    size = dict(num_chains=16 if args.quick else 128,
+                num_warmup=500 if args.quick else 5000,
+                num_samples=500 if args.quick else 2500,
+                num_leapfrog_steps=32,
+                num_optimization_steps=800 if args.quick else 6000,
+                learning_rate=0.02,
+                num_vi_restarts=8)
+
+    out = {}
+    for tag, kw in VARIANTS:
+        for seed in [int(s) for s in args.seeds.split(",")]:
+            t0 = time.time()
+            try:
+                res = run_experiment(spec, method="dvip",
+                                     inference="hmc", seed=seed,
+                                     **size, **kw)
+                s = res.summary
+                out[f"{tag}/s{seed}"] = {
+                    "ess_per_grad_min": s["ess_per_grad_min"],
+                    "rhat_max": s["rhat_max"],
+                    "ess_min": s["ess_min"],
+                    "vi_elbo": s.get("vi_elbo"),
+                    "wall_s": time.time() - t0,
+                }
+                print(f"[dvip {tag} s{seed}] epg={s['ess_per_grad_min']:.1f} "
+                      f"rhat={s['rhat_max']:.3f} ({time.time()-t0:.0f}s)",
+                      flush=True)
+            except Exception:
+                print(f"[dvip {tag} s{seed}] ERROR", flush=True)
+                traceback.print_exc()
+            jax.clear_caches()
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
