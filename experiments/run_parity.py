@@ -227,22 +227,32 @@ def main():
     # ---- 5: election88 8192-chain NUTS -------------------------------
     if 5 not in skip:
         spec = get_model("election88")
-        # 800-step warmup: the full G&H ch.14 covariate model (89 dims)
+        # 1200-step warmup: the full G&H ch.14 covariate model (89 dims)
         # needs more adaptation than round 1's minimal variant did; the
         # program length is safe at any budget now that run_nuts chunks
-        # its scans (see nuts._chunked_scan)
+        # its scans (see nuts._chunked_scan).  Round 3 passed the split
+        # R-hat bar by 0.001 (1.049 vs 1.05) — a coin flip, not margin
+        # (VERDICT r3 weak #3); the budget is up 800→1200 AND the
+        # converged gate is now nested R-hat < 1.01 (Margossian et al.
+        # 2024 — the sharp statistic in exactly this many-short-chains
+        # regime: 8192 chains × 300 kept draws gives split R-hat a
+        # per-chain-mean noise floor that nested R-hat pools away).
+        # Split R-hat is still recorded and sanity-bounded at 1.1.
         res = run_and_save("5-election88-nuts", spec, method="ncp",
                            inference="nuts",
                            num_chains=64 if q else 8192,
-                           num_warmup=100 if q else 800,
+                           num_warmup=100 if q else 1200,
                            num_samples=100 if q else 300,
                            max_tree_depth=6, seed=0)
-        ok = (res.summary["rhat_max"] < (1.3 if q else 1.05)
+        nrhat = res.summary.get("nested_rhat_max")
+        ok = (nrhat is not None and nrhat < (1.05 if q else 1.01)
+              and res.summary["rhat_max"] < (1.3 if q else 1.1)
               and res.summary["ess_min"] > (50 if q else 5000))
         record(5, "election88 8192-chain NUTS", res.summary, ok,
                f"chains={res.summary['num_chains']}, "
                f"ess_min={res.summary['ess_min']:.0f}, "
-               f"rhat={res.summary['rhat_max']:.3f}, "
+               f"nested_rhat={nrhat:.4f} (gate 1.01), "
+               f"split_rhat={res.summary['rhat_max']:.3f}, "
                f"wall={res.summary['wall_time_s']:.1f}s")
 
     # ---- PARITY.md (merged across invocations) ------------------------
