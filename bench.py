@@ -67,14 +67,23 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     from autoreparam_tpu.reparam.handler import eligible_sites, recover_fn
 
     spec = get_model("radon", "MN")
+    base_model = spec.model
+    if os.environ.get("BENCH_TAIL_TRANSPORT", "0") == "1":
+        # Gaussian tail transport on the HalfCauchy sigma-sites (the
+        # E-BFMI < 0.3 heavy-tail energy pathology CP/NCP/VIP cannot
+        # touch; reparam.strategies.TailTransport) — A/B knob
+        from autoreparam_tpu.reparam import make_tail_transport_model
+        base_model = make_tail_transport_model(base_model,
+                                               model_args=spec.args)
+        log("tail transport: ON (sigma sites -> Gaussian-base latents)")
     key = jax.random.PRNGKey(seed)
     k_vi, k_init, k_run = jax.random.split(key, 3)
     log(f"pipeline start: chains={num_chains} backend={jax.default_backend()}")
 
     # --- VI phase: learn lambda (cVIP) --------------------------------
     t0 = time.perf_counter()
-    sites = tuple(eligible_sites(spec.model, spec.args))
-    vi = fit_vi(spec.model, spec.args, vip_sites=sites,
+    sites = tuple(eligible_sites(base_model, spec.args))
+    vi = fit_vi(base_model, spec.args, vip_sites=sites,
                 num_steps=vi_steps, num_mc_samples=8,
                 learning_rate=0.05, key=k_vi)
     jax.block_until_ready(vi.loc)
@@ -85,7 +94,7 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     # constants): the HLO is then identical across bench invocations, so
     # the persistent compile cache hits even though VI re-learns λ.
     lam_template = vi.lam
-    info = get_model_info(make_vip_model(spec.model, lam_template),
+    info = get_model_info(make_vip_model(base_model, lam_template),
                           spec.args)
 
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
@@ -99,7 +108,7 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         # sample array never materializes (collect_fn stores only the
         # recovered row), halving peak sample memory — which is what
         # bounds num_samples on the 16G chip
-        rec = recover_fn(make_vip_model(spec.model, lam), info, spec.args)
+        rec = recover_fn(make_vip_model(base_model, lam), info, spec.args)
 
         def collect(zrow):  # (D,) -> (Dtot,) model space
             return jnp.concatenate(
@@ -118,7 +127,7 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
 
         @jax.jit
         def run(i, k, lam, im):
-            pot = make_potential_fn(make_vip_model(spec.model, lam),
+            pot = make_potential_fn(make_vip_model(base_model, lam),
                                     info, spec.args)
             return run_chees(pot, i, k, ccfg, inv_mass_diag=im,
                              collect_fn=make_collect(lam))
@@ -134,14 +143,14 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
 
         @jax.jit
         def run(i, k, lam, im):
-            pot = make_potential_fn(make_vip_model(spec.model, lam),
+            pot = make_potential_fn(make_vip_model(base_model, lam),
                                     info, spec.args)
             return run_ghmc(pot, i, k, gcfg, inv_mass_diag=im,
                             collect_fn=make_collect(lam))
     else:
         @jax.jit
         def run(i, k, lam, im):
-            pot = make_potential_fn(make_vip_model(spec.model, lam),
+            pot = make_potential_fn(make_vip_model(base_model, lam),
                                     info, spec.args)
             return H.run_hmc(pot, i, k, cfg, inv_mass_diag=im,
                              collect_fn=make_collect(lam))
@@ -228,6 +237,8 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         "ess_per_sec_amortized": float(ess.min() / (wall + vi_wall)),
         "num_chains": num_chains,
         "num_samples": num_samples,
+        "tail_transport": os.environ.get("BENCH_TAIL_TRANSPORT",
+                                         "0") == "1",
         "backend": jax.default_backend(),
         "lambda_mean": {k: float(np.asarray(v).mean())
                         for k, v in vi.lam.items()},
