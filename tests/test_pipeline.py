@@ -202,3 +202,19 @@ def test_vi_rank_flows_into_init_and_mass():
                           vi_rank=0, **SMALL)
     assert res0.vi.factor is None
     assert res0.summary.get("vi_rank", 0) == 0
+
+
+@pytest.mark.parametrize("method", ["cp", "ncp", "cvip", "interleaved"])
+def test_tail_transport_flows_through_methods(method):
+    """run_experiment(tail_transport=True) composes with every method:
+    the HalfCauchy sigma-sites become Gaussian-base latents, the
+    summary records the knob, and the model-space readout still
+    reports log(sigma) coordinates."""
+    spec = get_model("radon", "MN")
+    res = run_experiment(spec, method=method, inference="hmc",
+                         tail_transport=True, **SMALL)
+    s = res.summary
+    assert s["tail_transport"] is True
+    assert np.isfinite(s["ess_min"])
+    assert "log(sigma_a)" in s["param_names"]
+    assert "log(sigma_y)" in s["param_names"]
