@@ -75,18 +75,18 @@ FULL_OVERRIDES = {
     # is unchanged — also keeps the one-XLA-execution program under
     # the axon tunnel's execution-length fault threshold (observed:
     # iHMC at 10000+5000 x L32 faults the device; 5000+2500 is clean).
-    # vi_rank=8: the 89-dim posterior (51 state effects x demographic
-    # slopes) is correlated enough that a mean-field q* under-disperses
-    # the init and mis-scales the q*^2 mass; a rank-8-plus-diagonal q
-    # (inference/vi.py q_rank) carries the top covariance directions
-    # into both.  Measured (experiments/probe_election_rank.py, CPU
-    # half budget, seed 0): cVIP 8.4 ess/grad R-hat 1.151 at rank 0 ->
-    # 499.5 R-hat 1.007 at rank 8, q* IS-ESS 0.0034 -> 0.0081.  Only
-    # cvip/dvip consume vi_rank (cp/ncp/interleaved never fit VI).
+    # vi_rank=8 was tried (round 3) and REVERTED on full-budget
+    # evidence: the half-budget probe win (probe_election_rank.py seed
+    # 0: 8.4 -> 499.5) did not carry — 5-seed full-budget median 229.9
+    # vs 295.0 for restarts-only, one seed regressing to R-hat 1.057
+    # (results/election_probe/zoo_rank8/).  Cause: the rank-8 q* has a
+    # ~2-nat better ELBO but 10x worse IS-ESS (mode-seeking fit
+    # under-disperses untracked directions), so the q*^2 mass seed is
+    # gated off on every seed and only the init changes.
     "election88": dict(num_warmup=5000, num_samples=2500,
                        num_leapfrog_steps=32,
                        num_optimization_steps=6000, learning_rate=0.02,
-                       num_vi_restarts=8, vi_rank=8),
+                       num_vi_restarts=8),
 }
 
 
