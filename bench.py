@@ -224,9 +224,16 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         "ess_min_extrapolated_1024": float(ess_extrap.min()),
         "rhat_max": float(rhat.max()),
         "nested_rhat_max": float(nrhat.max()),
-        "ebfmi_min": (float(np.asarray(
-            dg.ebfmi(stats["energy"])).min())
-            if "energy" in stats else None),
+        # ebfmi_min over 8192 chains is an extreme-value statistic of
+        # noisy per-chain estimates; the quantiles say whether a low min
+        # is a tail artifact or a sick typical chain (PERF.md "E-BFMI").
+        **({"ebfmi_min": float(np.asarray(
+                dg.ebfmi(stats["energy"])).min()),
+            "ebfmi_p05": float(np.percentile(np.asarray(
+                dg.ebfmi(stats["energy"])), 5)),
+            "ebfmi_median": float(np.median(np.asarray(
+                dg.ebfmi(stats["energy"]))))}
+           if "energy" in stats else {"ebfmi_min": None}),
         "converged": bool(rhat.max() < 1.05),
         "wall_s": wall,
         "vi_wall_s": vi_wall,

@@ -6,9 +6,12 @@ measured throughput to the hardware's compute and HBM-bandwidth peaks.
 For radon-MN and election88 it
 
 1. compiles ONE full HMC transition (momentum refresh + L leapfrogs +
-   MH accept, vmapped over the chain batch) and reads XLA's
-   `cost_analysis()` — flops and HBM bytes accessed of the optimized
-   HLO (the compiler's own accounting of the program it actually runs);
+   MH accept, vmapped over the chain batch) with the leapfrog
+   PYTHON-UNROLLED and reads XLA's `cost_analysis()` — flops and HBM
+   bytes accessed of the optimized HLO.  The unroll matters: XLA's
+   cost analysis counts a while-loop body ONCE regardless of trip
+   count (measured here), so any scanned program under-reports; a
+   loop-free HLO's counts are exact (verified against a matmul's 2MNK);
 2. measures steady-state transitions/s with a fetch-synced scan;
 3. reports achieved FLOP/s and bytes/s as fractions of the chip peaks,
    naming the binding resource.
@@ -104,12 +107,48 @@ def main():
         key = jax.random.PRNGKey(1)
         lowered = jax.jit(run).lower(z0, key)
         compiled = lowered.compile()
-        ca = compiled.cost_analysis()
+
+        # XLA's cost_analysis counts a while-loop BODY ONCE, ignoring
+        # trip count (measured on this box: scan length 1/10/100 over a
+        # matmul body all report identical flops), so the scanned `run`
+        # above cannot be used for cost accounting.  Instead compile a
+        # single transition with the leapfrog Python-unrolled — the
+        # resulting HLO has no loops, and cost_analysis of a loop-free
+        # program is exact (verified against the analytic 2MNK of a
+        # plain matmul).  Same math as inference.hmc.hmc_kernel.
+        def one_transition(z, pot0, grad, key, ss, im):
+            key_mom, key_acc = jax.random.split(key)
+            r = (jax.random.normal(key_mom, z.shape, z.dtype)
+                 * jax.lax.rsqrt(im))
+            e0 = pot0 + 0.5 * jnp.sum(r * r * im)
+            zz, gg, pot_new = z, grad, pot0
+            for _ in range(args.steps):           # Python-unrolled
+                r_half = r - 0.5 * ss * gg
+                zz = zz + ss * im * r_half
+                pot_new, gg = jax.value_and_grad(pot)(zz)
+                r = r_half - 0.5 * ss * gg
+            e1 = pot_new + 0.5 * jnp.sum(r * r * im)
+            delta = e0 - e1
+            accept = (jax.random.uniform(key_acc, (), z.dtype)
+                      < jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0))))
+            return jnp.where(accept, zz, z), jnp.where(accept, e1, e0)
+
+        ss0 = jnp.full((C,), 0.05, jnp.float32)
+        im0 = jnp.ones((C, D), jnp.float32)
+        pot0, grad0 = jax.jit(pg)(z0)
+        cost_compiled = jax.jit(jax.vmap(one_transition)).lower(
+            z0, pot0, grad0, jax.random.split(key, C), ss0, im0).compile()
+        ca = cost_compiled.cost_analysis()
         if isinstance(ca, list):  # older jax returns [dict]
             ca = ca[0]
-        flops_total = float(ca.get("flops", float("nan")))
+        # per-transition counts -> totals for the timed scan's work
+        flops_total = float(ca.get("flops", float("nan"))) * args.iters
         bytes_total = float(ca.get("bytes accessed",
-                                   ca.get("bytes_accessed", float("nan"))))
+                                   ca.get("bytes_accessed",
+                                          float("nan")))) * args.iters
+        # analytic HBM floor: a perfectly-fused leapfrog still reads
+        # (z, r, grad, inv_mass) and writes (z, r, grad) per step
+        bytes_floor_per_lcs = 7 * D * 4
 
         t0 = time.perf_counter()
         outv = compiled(z0, key)
@@ -137,6 +176,7 @@ def main():
             "dim": D,
             "flops_per_leapfrog_chain_step": flops_per_lcs,
             "bytes_per_leapfrog_chain_step": bytes_per_lcs,
+            "bytes_floor_per_leapfrog_chain_step": bytes_floor_per_lcs,
             "arithmetic_intensity_flops_per_byte": intensity,
             "wall_s": wall,
             "first_run_s": compile_probe_s,
