@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """A/B the Pallas fused-leapfrog HMC kernel vs the XLA scan path on real
-TPU (funnel model, 8192 chains).  Prints one JSON line per path.
+TPU.  Prints one JSON line per path.
 
-    python experiments/bench_fused.py [chains] [leapfrog]
+    python experiments/bench_fused.py [chains] [leapfrog] [funnel|radon]
+
+funnel: synthetic lane-aligned D=128 (the round-1 A/B).  radon: the
+flagship model's real potential with one-hot-matmul county lookups —
+the roofline (PERF.md) shows its XLA path is dispatch-bound, which is
+exactly the overhead a single fused kernel removes.
 """
 
 import json
@@ -39,8 +44,23 @@ def funnel_potential(dim):
 def main():
     C = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    D = 128  # funnel with 127 x-dims: lane-aligned state
-    pot = funnel_potential(D)
+    model = sys.argv[3] if len(sys.argv) > 3 else "funnel"
+    if model == "funnel":
+        D = 128  # funnel with 127 x-dims: lane-aligned state
+        pot = funnel_potential(D)
+    else:
+        # real-model A/B (the roofline shows radon's XLA path is
+        # dispatch-bound: ~a dozen fusions per leapfrog; the fused
+        # transition is ONE kernel).  One-hot matmul lowering for the
+        # county lookups — in-kernel dynamic gather is not a Pallas
+        # TPU-friendly op, the contraction is.
+        from autoreparam_tpu.core import get_model_info, make_potential_fn
+        from autoreparam_tpu.models import get_model, zoo
+        zoo.GATHER_IMPL = "matmul"
+        spec = get_model(model, "MN" if model == "radon" else None)
+        info = get_model_info(spec.model, spec.args)
+        pot = make_potential_fn(spec.model, info, spec.args)
+        D = info.dim
     cfg = H.HMCConfig(num_warmup=100, num_samples=200,
                       num_leapfrog_steps=L, init_step_size=0.2)
     key = jax.random.PRNGKey(0)
