@@ -91,6 +91,11 @@ flags.DEFINE_enum("chees_criterion", "chees_rate",
                   "trajectory-length criterion for --inference=chees: "
                   "raw or cost-normalized ChEES / SNAPER (principal-"
                   "component ESJD)")
+flags.DEFINE_integer("ghmc_thin", 1,
+                     "keep every N-th GHMC sweep (1 gradient each; "
+                     "ess/grad accounting stays exact) — bounds kept-"
+                     "sample memory when gradient-matching GHMC to "
+                     "L-leapfrog engines")
 
 
 def main(argv):
@@ -137,6 +142,7 @@ def _run_one(spec, num_leapfrog):
         dvip_keep_band=FLAGS.dvip_keep_band,
         tail_transport=FLAGS.tail_transport,
         chees_criterion=FLAGS.chees_criterion,
+        ghmc_thin=FLAGS.ghmc_thin,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])
 

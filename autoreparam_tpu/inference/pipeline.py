@@ -115,7 +115,8 @@ def run_experiment(spec: ModelSpec,
                    dvip_threshold: float = 0.5,
                    dvip_keep_band: float = 0.0,
                    tail_transport: bool = False,
-                   chees_criterion: str = "chees_rate"
+                   chees_criterion: str = "chees_rate",
+                   ghmc_thin: int = 1
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
 
@@ -335,8 +336,15 @@ def run_experiment(spec: ModelSpec,
                                        collect_fn=collect)
     elif inference == "ghmc":
         from .ghmc import GHMCConfig, run_ghmc
+        # thin > 1 keeps every thin-th sweep (1 gradient per sweep,
+        # stats["num_grad_evals_per_sample"] = thin keeps the ess/grad
+        # accounting exact): the memory-bounded way to gradient-match
+        # GHMC to L-leapfrog engines at heavy budgets — materializing
+        # L x num_samples kept draws OOMs the chip on the hard-geometry
+        # models (measured: german_ln 160k draws x 128 chains).
         gcfg = GHMCConfig(num_warmup=num_warmup,
-                          num_samples=num_samples)
+                          num_samples=num_samples,
+                          thin=ghmc_thin)
         pot = make_potential_fn(sampled_model, info, args, kwargs)
         im1d = (inv_mass[0] if (inv_mass is not None
                                 and inv_mass.ndim > 1) else inv_mass)
