@@ -194,7 +194,7 @@ def _one_fold_stats(z, grad, adapt: _FoldAdapt, src: int,
 
 
 def _make_sweep(kern, config: GHMCConfig, C: int, D: int,
-                backoff: bool = False):
+                backoff: bool = False, mult_const=None):
     """Build one full fold sweep: (state, adapt[, mult]), key ->
     ((state, adapt[, mult]), info).
 
@@ -211,9 +211,21 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int,
     its ε off geometrically until it can move (a badly-initialized
     wide-prior NCP chain needs ε orders of magnitude below its fold's
     — measured on eight_schools), and recovers toward 1 as it accepts.
+
+    `mult_const` (SAMPLING) applies a FROZEN per-chain multiplier — the
+    warmup backoff's end state.  The MEADS ε heuristic can be
+    structurally ~100x conservative (election88-NCP measured: sampling
+    acceptance 0.95 at ε ~2e-4 while the warmup multiplier had ramped
+    to reach its 91%-acceptance equilibrium; dropping it at the
+    boundary froze the chains — ess_min pinned at C/2, R-hat 100-700,
+    results/probe_ghmc_election.json).  A constant multiplier is
+    exact: each chain's kernel parameters stay independent of its own
+    state.
     """
     F = config.num_folds
     N = C // F
+    multc = (None if mult_const is None
+             else jnp.asarray(mult_const).reshape(F, N))
 
     def one(carry, key):
         if backoff:
@@ -234,6 +246,8 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int,
             eps_c = jnp.broadcast_to(eps, (N,))
             if backoff:
                 eps_c = eps_c * multp[f]
+            elif multc is not None:
+                eps_c = eps_c * multc[f]
             sub, info = kern(sub, keys[f], eps_c,
                              jnp.broadcast_to(noise, (N,)),
                              jnp.broadcast_to(sig, (N, D)))
@@ -243,6 +257,10 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int,
                 # persistent momentum).  Upper range >> 1 lets healthy
                 # chains ESCAPE a fold whose ε was poisoned by one
                 # stuck chain's 1e5 gradient in the λ̂_max estimate.
+                # (A slower 1.002 up-rate was tried for a gentler
+                # equilibrium and broke warmup's rescue role: chains
+                # knocked to 1e-5 early could not climb back within
+                # the budget — eight_schools R-hat 4.4.)
                 multp = multp.at[f].set(jnp.clip(
                     multp[f] * jnp.where(info.is_accepted, 1.01, 0.90),
                     1e-5, 1e4))
@@ -263,13 +281,15 @@ def _make_sweep(kern, config: GHMCConfig, C: int, D: int,
 def sample_ghmc(potential_fn: Callable, state: GHMCState,
                 adapt: _FoldAdapt, key, num_samples: int,
                 config: GHMCConfig = GHMCConfig(),
-                collect_fn: Optional[Callable] = None):
+                collect_fn: Optional[Callable] = None,
+                step_mult=None):
     """Continue sampling from an existing (state, adapt) — the
     checkpoint/resume entry point (utils/checkpoint.ResumableGHMC).
-    Returns (samples, state, adapt, infos)."""
+    `step_mult`: frozen per-chain ε multiplier from the warmup backoff
+    (see _make_sweep).  Returns (samples, state, adapt, infos)."""
     C, D = state.z.shape
     kern = ghmc_kernel(potential_fn, config.divergence_threshold)
-    one = _make_sweep(kern, config, C, D)
+    one = _make_sweep(kern, config, C, D, mult_const=step_mult)
     if collect_fn is None:
         collect_fn = lambda z: z  # noqa: E731
 
@@ -341,23 +361,46 @@ def run_ghmc(potential_fn: Callable,
         wcarry = (state0, adapt0, jnp.ones((C,), dtype))
         wcarry, warm_info = jax.lax.scan(one_warm, wcarry,
                                          jax.random.split(k_warm, n_w))
-        state_w, adapt_w0, _ = wcarry
+        state_w, adapt_w0, mult_w = wcarry
         warm_accept = warm_info.accept_prob
         # warmup -> sampling boundary: teleport chains the backoff could
         # not save (still near-zero acceptance) onto healthy donors —
-        # the same one-time rescue run_hmc applies (hmc.py); from here
-        # on the kernel is exact with mult == 1.
+        # the same one-time rescue run_hmc applies (hmc.py).  The
+        # backoff multiplier is FROZEN into the sampling kernel rather
+        # than dropped: the MEADS ε heuristic alone can sit ~100x below
+        # the usable step (election88-NCP froze outright without it —
+        # _make_sweep docstring); a constant per-chain multiplier keeps
+        # the kernel exact.  Rescued chains inherit the healthy median
+        # (their own mult backed off chasing a hopeless basin).
         state_w, stuck = H.rescue_stuck_chains(
             state_w, warm_accept, jax.random.fold_in(key, 7))
+        # Freeze is GATED on the warmup's own evidence: only when the
+        # ensemble median multiplier shows the raw MEADS ε to be
+        # grossly (>4x) conservative does the frozen, >=1-clamped
+        # multiplier carry into sampling.  Measured on both sides of
+        # the gate: freezing eight_schools' ~1.7x equilibrium mult
+        # cost 20x ess/grad (every extra rejection flips the
+        # persistent momentum), while election88-NCP's raw ε is in a
+        # self-locking regime (far ensemble -> inflated λ̂_g -> ε
+        # ~2e-4 -> chains frozen at ess_min = C/2, R-hat 100-700;
+        # probe_ghmc_election.json) that only the warmup-calibrated
+        # multiplier escapes.  A constant multiplier keeps the
+        # sampling kernel exact either way.
+        mult_w = jnp.clip(mult_w, 1.0, 1e4)
+        med = jnp.nan_to_num(
+            jnp.nanmedian(jnp.where(stuck, jnp.nan, mult_w)), nan=1.0)
+        mult_w = jnp.where(stuck, med, mult_w)
+        mult_w = jnp.where(med > 4.0, mult_w, jnp.ones_like(mult_w))
         carry = (state_w, adapt_w0)
     else:
         warm_accept = jnp.zeros((0, C), dtype)
         stuck = jnp.zeros((C,), bool)
+        mult_w = jnp.ones((C,), dtype)
 
     state_w, adapt_w = carry
     samples, state_final, adapt_final, sinfo = sample_ghmc(
         potential_fn, state_w, adapt_w, k_samp, config.num_samples,
-        config, collect_fn=collect_fn)
+        config, collect_fn=collect_fn, step_mult=mult_w)
 
     S = config.num_samples
     stats = {
@@ -371,6 +414,7 @@ def run_ghmc(potential_fn: Callable,
         "final_state": state_final,
         "final_adapt": adapt_final,
         "damping": adapt_final.lam_z,                   # (F,) diagnostics
+        "step_mult": mult_w,                            # (C,) frozen ε mult
         "rescued_chains": stuck,                        # (C,) bool
         "num_grad_evals_per_sample": config.thin,
     }

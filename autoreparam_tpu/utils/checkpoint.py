@@ -354,9 +354,9 @@ class ResumableGHMC(_ResumableSampler):
         self.inv_mass_diag = inv_mass_diag
         self._G = G
         self._sample_jit = jax.jit(
-            lambda st, ad, k: G.sample_ghmc(
+            lambda st, ad, k, mult: G.sample_ghmc(
                 self.potential_fn, st, ad, k, self.chunk_size,
-                self.config))
+                self.config, step_mult=mult))
 
     def _template(self, C, D):
         F = self.config.num_folds
@@ -365,7 +365,8 @@ class ResumableGHMC(_ResumableSampler):
             pot=jnp.zeros((C,)), grad=jnp.zeros((C, D)),
             v_g=jnp.zeros((F, D)), v_z=jnp.zeros((F, D)),
             lam_g=jnp.zeros((F,)), lam_z=jnp.zeros((F,)),
-            var=jnp.zeros((F, D)), key=jax.random.PRNGKey(0),
+            var=jnp.zeros((F, D)), mult=jnp.ones((C,)),
+            key=jax.random.PRNGKey(0),
             chunks_done=jnp.zeros((), jnp.int32))
 
     def _warmup(self, init_positions, key):
@@ -376,7 +377,8 @@ class ResumableGHMC(_ResumableSampler):
         st, ad = stats["final_state"], stats["final_adapt"]
         return dict(z=st.z, r=st.r, pot=st.pot, grad=st.grad,
                     v_g=ad.v_g, v_z=ad.v_z, lam_g=ad.lam_g,
-                    lam_z=ad.lam_z, var=ad.var)
+                    lam_z=ad.lam_z, var=ad.var,
+                    mult=stats["step_mult"])
 
     def _sample_chunk(self, state, key, start):
         from ..inference.ghmc import GHMCState, _FoldAdapt
@@ -385,7 +387,8 @@ class ResumableGHMC(_ResumableSampler):
                        state["grad"])
         ad = _FoldAdapt(state["v_g"], state["v_z"], state["lam_g"],
                         state["lam_z"], state["var"])
-        samples, st, ad, _ = self._sample_jit(st, ad, key)
+        samples, st, ad, _ = self._sample_jit(
+            st, ad, key, state.get("mult", jnp.ones_like(state["pot"])))
         return samples, dict(state, z=st.z, r=st.r, pot=st.pot,
                              grad=st.grad, v_g=ad.v_g, v_z=ad.v_z,
                              lam_g=ad.lam_g, lam_z=ad.lam_z, var=ad.var)

@@ -35,28 +35,27 @@ def main():
     spec = get_model("election88")
     out = {}
     for label, kw in (
-            ("base", {}),
-            ("small_step", {"ghmc_step_scale": 0.1}),
+            ("ncp", dict(method="ncp")),
+            ("cvip", dict(method="cvip", num_optimization_steps=3000,
+                          num_vi_restarts=4)),
     ):
-        try:
-            t0 = time.time()
-            res = run_experiment(spec, method="ncp", inference="ghmc",
-                                 num_chains=128, num_warmup=4000,
-                                 num_samples=500, ghmc_thin=8, seed=0,
-                                 **kw)
-            s = res.summary
-            acc = float(np.asarray(res.stats["accept_prob"]).mean())
-            ss = np.asarray(res.stats["step_size"])
-            rec = {"ess_min": float(s["ess_min"]),
-                   "epg": float(s["ess_per_grad_min"]),
-                   "rhat": float(s["rhat_max"]),
-                   "accept_mean": acc,
-                   "step_size_first": float(ss.ravel()[0]),
-                   "step_size_last": float(ss.ravel()[-1]),
-                   "step_size_median": float(np.median(ss)),
-                   "wall_s": round(time.time() - t0, 1)}
-        except TypeError as e:  # knob not wired yet
-            rec = {"error": str(e)}
+        t0 = time.time()
+        res = run_experiment(spec, inference="ghmc",
+                             num_chains=128, num_warmup=4000,
+                             num_samples=500, ghmc_thin=8, seed=0,
+                             **kw)
+        s = res.summary
+        acc = float(np.asarray(res.stats["accept_prob"]).mean())
+        ss = np.asarray(res.stats["step_size"])
+        mult = np.asarray(res.stats["step_mult"])
+        rec = {"ess_min": float(s["ess_min"]),
+               "epg": float(s["ess_per_grad_min"]),
+               "rhat": float(s["rhat_max"]),
+               "accept_mean": acc,
+               "step_size_median": float(np.median(ss)),
+               "step_mult_median": float(np.median(mult)),
+               "step_mult_max": float(mult.max()),
+               "wall_s": round(time.time() - t0, 1)}
         out[label] = rec
         print(f"[ghmc {label}] {rec}", flush=True)
         jax.clear_caches()
