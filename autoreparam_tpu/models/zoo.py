@@ -53,14 +53,19 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {}
 #   Exactly one unit entry per row + HIGHEST precision keeps it
 #   bit-exact vs the gather (tests/test_models.py).
 # "gather": plain indexing (the A/B control; experiments/probe_gather_matmul.py).
-# "auto" (default): per-call-site choice on idx.size.  Measured on the
-#   real TPU at 8192 chains (results/probe_gather_matmul.json,
-#   2026-08-19): matmul is 2.51x on election88 (obs-level takes,
-#   idx.size 2135), 1.07x on electric (192), but 0.89x on radon (124)
-#   — the one-hot contraction only pays off once the gather is wide
-#   enough.  Threshold 128 reproduces the per-model winner on all
-#   three measured models.
-GATHER_IMPL = "auto"
+# "auto": per-call-site choice on idx.size (threshold below).
+# Default "matmul": measured on the real TPU at 8192 chains with a
+#   1000-iter scan (results/probe_gather_matmul.json, 2026-08-19),
+#   matmul wins on EVERY measured call site: 1.17x on radon (one
+#   124-wide take), 2.92x on election88 (51 + 4x2135), 1.19x on
+#   electric (one 192-wide take).  An earlier 200-iter probe that
+#   appeared to show gather winning on radon was dispatch-overhead
+#   dominated (per-eval 381us vs 107us at 1000 iters) — its <10%
+#   deltas were noise (identical-HLO control pairs differ by ~10%
+#   run-to-run at this wall time).  No measured site wants gather,
+#   so the per-site threshold heuristic is retired from the default
+#   path; "auto"/"gather" remain as A/B knobs.
+GATHER_IMPL = "matmul"
 _AUTO_MATMUL_MIN_ROWS = 128
 
 
