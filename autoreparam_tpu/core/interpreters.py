@@ -83,10 +83,16 @@ class ModelInfo:
 
     # -- flat vector <-> dict of unconstrained arrays -------------------
     def unravel(self, flat):
+        # Static slice, NOT dynamic_slice: offsets are Python ints, and
+        # under vmap a dynamic_slice batches to gather (whose gradient
+        # is scatter) while a static slice stays a slice (gradient:
+        # pad).  Mosaic (Pallas TPU) can lower slice/pad inside the
+        # fused kernel but not these gathers — and XLA fuses
+        # slice+pad more cheaply everywhere else too.
         out = {}
         for s in self.latents:
-            out[s.name] = jax.lax.dynamic_slice_in_dim(
-                flat, s.offset, s.size).reshape(s.shape)
+            out[s.name] = jax.lax.slice_in_dim(
+                flat, s.offset, s.offset + s.size).reshape(s.shape)
         return out
 
     def ravel(self, values: Dict[str, Any]):

@@ -9,12 +9,15 @@ HBM mid-trajectory.
 
 The potential is a plain jnp function; `jax.vmap(jax.grad(...))` is
 traced *inside* the kernel body, so the model's gradient math lowers to
-Mosaic ops on VMEM values.  This works for models whose gradient is
-expressible on the (block, D) state without large data gathers (funnel,
-eight_schools, and any dense zoo model whose data fits VMEM); data-heavy
-models keep the XLA path — which is why this is a flag-gated fast path
-with a mandatory equivalence test (tests/test_pallas.py), per
-SURVEY.md §3.2/§5 item 6.
+Mosaic ops on VMEM values.  Model data the potential closes over
+(sufficient-stat tables, index tables) is hoisted by closure conversion
+and enters the kernel as grid-invariant VMEM operands — every zoo
+model's data is KB-scale after the sufficient-stat collapses, so real
+models (radon, election88) run fused, not just synthetic potentials.
+Models with dynamic gathers in the gradient keep the XLA path (the
+one-hot matmul lowering, models/zoo.py take(), avoids that by
+construction) — this stays a flag-gated fast path with a mandatory
+equivalence test (tests/test_pallas.py), per SURVEY.md §3.2/§5 item 6.
 
 Chain blocking: grid over C/block rows; D is padded to the 128-lane
 boundary by the caller (pad dims carry zero momentum and zero gradient,
@@ -37,6 +40,36 @@ def pad_dim(d: int, multiple: int = 128) -> int:
     return ((d + multiple - 1) // multiple) * multiple
 
 
+def _hoist_constants(potential_fn: Callable, dim: int):
+    """Split `potential_fn` into (pure_fn, consts) via closure
+    conversion.  Real-model potentials close over data arrays (radon's
+    sufficient-stat tables, election88's one-hot index tables, …) which
+    Pallas refuses to capture into the kernel — they must enter as
+    pallas_call operands.  Returns the converted function
+    `pure_fn(z, *consts)`, the concrete consts reshaped to 2-D (TPU
+    Pallas VMEM refs want ≥2-D blocks), and their original shapes so
+    the kernel body can reshape them back."""
+    closed = jax.make_jaxpr(potential_fn)(jnp.zeros((dim,), jnp.float32))
+    consts = [jnp.asarray(c) for c in closed.consts]
+
+    def pure_fn(z, *cs):
+        (out,) = jax.core.eval_jaxpr(closed.jaxpr, list(cs), z)
+        return out
+
+    shapes = [c.shape for c in consts]
+    consts2d = [jnp.asarray(c).reshape(
+        (1, 1) if c.ndim == 0 else (1, -1) if c.ndim == 1 else c.shape)
+        for c in consts]
+    return pure_fn, consts2d, shapes
+
+
+def _const_specs(consts2d):
+    """Whole-array, grid-invariant VMEM blocks for hoisted model data
+    (small: ≤ a few thousand elements for every zoo model)."""
+    return [pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM) for c in consts2d]
+
+
 def make_fused_leapfrog(potential_fn: Callable, num_steps: int,
                         dim: int, block_chains: int = 256,
                         interpret: bool = False):
@@ -47,11 +80,14 @@ def make_fused_leapfrog(potential_fn: Callable, num_steps: int,
     `potential_fn` takes a (dim,) vector.  Inputs are (C, dim) with C a
     multiple of `block_chains`; step_size is (C,), inv_mass (C, dim).
     """
-    vgrad = jax.vmap(jax.grad(potential_fn))
-    vpot = jax.vmap(potential_fn)
+    pure_fn, consts2d, const_shapes = _hoist_constants(potential_fn, dim)
 
-    def kernel(z_ref, r_ref, grad_ref, eps_ref, im_ref,
-               z_out, r_out, pot_out, grad_out):
+    def kernel(z_ref, r_ref, grad_ref, eps_ref, im_ref, *rest):
+        c_refs = rest[:len(consts2d)]
+        z_out, r_out, pot_out, grad_out = rest[len(consts2d):]
+        cs = [cr[:].reshape(s) for cr, s in zip(c_refs, const_shapes)]
+        vgrad = jax.vmap(jax.grad(lambda zz: pure_fn(zz, *cs)))
+        vpot = jax.vmap(lambda zz: pure_fn(zz, *cs))
         z = z_ref[:]
         r = r_ref[:]
         grad = grad_ref[:]
@@ -85,7 +121,8 @@ def make_fused_leapfrog(potential_fn: Callable, num_steps: int,
         z_o, r_o, pot_o, grad_o = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[spec2, spec2, spec2, spec1, spec2],
+            in_specs=[spec2, spec2, spec2, spec1, spec2]
+            + _const_specs(consts2d),
             out_specs=[spec2, spec2, spec1, spec2],
             out_shape=[
                 jax.ShapeDtypeStruct((C, D), z.dtype),
@@ -94,7 +131,7 @@ def make_fused_leapfrog(potential_fn: Callable, num_steps: int,
                 jax.ShapeDtypeStruct((C, D), z.dtype),
             ],
             interpret=interpret,
-        )(z, r, grad, step_size[:, None], inv_mass)
+        )(z, r, grad, step_size[:, None], inv_mass, *consts2d)
         return z_o, r_o, pot_o[:, 0], grad_o
 
     return fused
@@ -123,11 +160,15 @@ def make_fused_transition(potential_fn: Callable, num_steps: int,
     with accepted/divergent returned as {0,1} floats (TPU Pallas outputs
     are vector-register shaped; callers cast to bool).
     """
-    vpg = jax.vmap(jax.value_and_grad(potential_fn))
+    pure_fn, consts2d, const_shapes = _hoist_constants(potential_fn, dim)
 
     def kernel(z_ref, pot_ref, grad_ref, n_ref, u_ref, eps_ref, im_ref,
-               z_out, pot_out, grad_out, ap_out, acc_out, div_out,
-               en_out):
+               *rest):
+        c_refs = rest[:len(consts2d)]
+        (z_out, pot_out, grad_out, ap_out, acc_out, div_out,
+         en_out) = rest[len(consts2d):]
+        cs = [cr[:].reshape(s) for cr, s in zip(c_refs, const_shapes)]
+        vpg = jax.vmap(jax.value_and_grad(lambda zz: pure_fn(zz, *cs)))
         z = z_ref[:]
         pot0 = pot_ref[:][:, 0]
         grad = grad_ref[:]
@@ -177,12 +218,13 @@ def make_fused_transition(potential_fn: Callable, num_steps: int,
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[spec2, spec1, spec2, spec2, spec1, spec1, spec2],
+            in_specs=[spec2, spec1, spec2, spec2, spec1, spec1, spec2]
+            + _const_specs(consts2d),
             out_specs=[spec2, spec1, spec2, spec1, spec1, spec1, spec1],
             out_shape=[full, col, full, col, col, col, col],
             interpret=interpret,
         )(z, pot[:, None], grad, normals, u[:, None],
-          step_size[:, None], inv_mass)
+          step_size[:, None], inv_mass, *consts2d)
         z1, pot1, grad1, ap, acc, div, en = outs
         return (z1, pot1[:, 0], grad1, ap[:, 0], acc[:, 0], div[:, 0],
                 en[:, 0])

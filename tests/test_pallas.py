@@ -100,6 +100,42 @@ def test_fused_transition_matches_xla_kernel():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_transition_real_model_hoisted_consts():
+    """Real-model potential (radon MN): closes over sufficient-stat
+    data tables, which closure conversion hoists into pallas_call
+    operands (ops/fused_leapfrog._hoist_constants).  Must reproduce
+    vmap(hmc.hmc_kernel) exactly like the synthetic case."""
+    from autoreparam_tpu.core import get_model_info, make_potential_fn
+    from autoreparam_tpu.models import get_model
+
+    spec = get_model("radon", "MN")
+    info = get_model_info(spec.model, spec.args)
+    pot = make_potential_fn(spec.model, info, spec.args)
+    D = info.dim
+    C = 8
+    z = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (C, D))
+    pot0, grad0 = jax.vmap(jax.value_and_grad(pot))(z)
+    state = H.HMCState(z, pot0, grad0)
+    keys = jax.random.split(jax.random.PRNGKey(11), C)
+    step = jnp.full((C,), 0.05)
+    inv_mass = jnp.ones((C, D))
+
+    ref_step = jax.vmap(H.hmc_kernel(pot, 5), in_axes=(0, 0, 0, 0))
+    st_ref, info_ref = ref_step(state, keys, step, inv_mass)
+
+    kern = fused_hmc_kernel(pot, num_leapfrog_steps=5, dim=D,
+                            block_chains=8, interpret=True)
+    st_f, info_f = kern(state, keys, step, inv_mass)
+
+    np.testing.assert_allclose(np.asarray(st_f.z), np.asarray(st_ref.z),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.pot),
+                               np.asarray(st_ref.pot),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(info_f.is_accepted),
+                                  np.asarray(info_ref.is_accepted))
+
+
 def test_fused_hmc_kernel_transition_valid():
     """Full fused transition: correct shapes, acceptance in [0,1], and a
     statistically valid chain on a Gaussian target."""
