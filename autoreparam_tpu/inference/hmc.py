@@ -220,6 +220,16 @@ class HMCInfo(NamedTuple):
     step_size: jnp.ndarray
 
 
+# Unroll factor for the leapfrog scan below.  The roofline analysis
+# (PERF.md "Roofline / MFU") attributes the residual gap between
+# achieved and floor HBM bandwidth to per-fusion dispatch latency
+# across the ~dozen kernels of each leapfrog step; unrolling lets XLA
+# fuse across step boundaries and amortize that fixed cost.  Probed on
+# the real TPU by experiments/probe_unroll.py; 1 (no unroll) keeps the
+# HLO — and therefore the committed .jax_cache entries — unchanged.
+LEAPFROG_UNROLL = 1
+
+
 def leapfrog(potential_and_grad: Callable, z, r, grad, step_size,
              inv_mass, num_steps: int):
     """L kick-drift-kick steps; returns (z, r, pot, grad).
@@ -237,7 +247,9 @@ def leapfrog(potential_and_grad: Callable, z, r, grad, step_size,
         return (z_new, r_new, grad_new), pot_new
 
     (z, r, grad), pots = jax.lax.scan(body, (z, r, grad), None,
-                                      length=num_steps)
+                                      length=num_steps,
+                                      unroll=min(LEAPFROG_UNROLL,
+                                                 num_steps))
     return z, r, pots[-1], grad
 
 
