@@ -342,11 +342,27 @@ def main():
         # surface the newest committed real-TPU measurement alongside
         # (clearly labeled, with its provenance) so the round artifact
         # still carries the hardware number the CPU fallback replaces.
-        last = os.path.join(REPO, "results", "bench",
-                            "bench_r3_snaper.json")
+        # newest committed bench_*.json whose detail ran on real TPU
+        bench_dir = os.path.join(REPO, "results", "bench")
+        candidates = sorted(
+            (p for p in os.listdir(bench_dir)
+             if p.startswith("bench_") and p.endswith(".json")),
+            key=lambda p: os.path.getmtime(os.path.join(bench_dir, p)),
+            reverse=True)
+        last = None
         try:
-            with open(last) as f:
-                prev = json.load(f)
+            prev = None
+            for name in candidates:
+                path = os.path.join(bench_dir, name)
+                with open(path) as f:
+                    cand = json.load(f)
+                detail = cand.get("detail", cand)
+                if detail.get("backend") == "tpu" and \
+                        not detail.get("degraded_cpu_fallback"):
+                    prev, last = cand, path
+                    break
+            if prev is None:
+                raise FileNotFoundError("no committed real-TPU bench JSON")
             res["last_good_tpu"] = {
                 "source": os.path.relpath(last, REPO),
                 "mtime": time.strftime(
