@@ -224,9 +224,13 @@ class HMCInfo(NamedTuple):
 # (PERF.md "Roofline / MFU") attributes the residual gap between
 # achieved and floor HBM bandwidth to per-fusion dispatch latency
 # across the ~dozen kernels of each leapfrog step; unrolling lets XLA
-# fuse across step boundaries and amortize that fixed cost.  Probed on
-# the real TPU by experiments/probe_unroll.py; 1 (no unroll) keeps the
-# HLO — and therefore the committed .jax_cache entries — unchanged.
+# fuse across step boundaries and amortize that fixed cost.  Measured
+# on the real TPU (experiments/probe_unroll.py, 8192 chains x 500
+# transitions): a wash on real models (radon-MN 1.00x — the gradient's
+# kernels don't fuse across steps) but 1.20x at unroll=4 on a pure-
+# elementwise potential (funnel D=128) whose whole step fuses.  Default
+# 1 keeps the HLO — and the committed .jax_cache — unchanged; set 4
+# for single-fusion potentials.
 LEAPFROG_UNROLL = 1
 
 
