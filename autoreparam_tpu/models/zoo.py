@@ -67,6 +67,16 @@ MODEL_REGISTRY: Dict[str, Callable[..., ModelSpec]] = {}
 #   path; "auto"/"gather" remain as A/B knobs.
 GATHER_IMPL = "matmul"
 _AUTO_MATMUL_MIN_ROWS = 128
+# Fold multi-take likelihoods into one constant design matmul where a
+# model supports it (election88; see _election88_effects.logits_for).
+# Default False: measured on the real TPU at 8192 chains x 1000 grad
+# evals (results/probe_fused_design.json) the single contraction is
+# 0.97x of the separate per-site matmuls — XLA already fuses the four
+# take() outputs' adds, so the rewrite saves no traffic and costs a
+# wider (cells x 77) contraction.  Both are ~3x the gather path.  Kept
+# as tested infrastructure (tests/test_models.py) for models where
+# XLA's fusion breaks down.
+FUSED_DESIGN = False
 
 
 def take(table, idx, n):
@@ -364,6 +374,37 @@ def _election88_effects(n_states, n_age, n_edu, n_region, region,
         # constant (jnp arithmetic on constants inside a trace yields a
         # tracer, which would skip take()'s bounds validation)
         ae = np.asarray(age) * n_edu + np.asarray(edu)
+        constant_rows = not any(isinstance(x, jax.core.Tracer)
+                                for x in (state, female, black, age, edu))
+        if GATHER_IMPL == "matmul" and FUSED_DESIGN and constant_rows:
+            # Fused design matmul: fold the four one-hot lookups AND
+            # the two fixed-effect columns into ONE constant design
+            # matrix — 4 matmuls + 3 elementwise adds (and their
+            # transposes in the gradient) become a single MXU
+            # contraction.  Measured 0.97x of the separate path
+            # (experiments/probe_fused_design.py), hence default-off;
+            # see FUSED_DESIGN above.
+            n_states = int(region.shape[0])
+            cols = n_states + n_age + n_edu + n_age * n_edu + 2
+            idx_np = [np.asarray(state), np.asarray(age), np.asarray(edu),
+                      ae]
+            sizes = [n_states, n_age, n_edu, n_age * n_edu]
+            rows = idx_np[0].shape[0]
+            design = np.zeros((rows, cols), np.float32)
+            off = 0
+            for ix, n in zip(idx_np, sizes):
+                if ix.size and (ix.min() < 0 or ix.max() >= n):
+                    raise ValueError(
+                        f"election88 design: index out of range [0, {n})")
+                design[np.arange(rows), off + ix] = 1.0
+                off += n
+            design[:, off] = np.asarray(female, np.float32)
+            design[:, off + 1] = np.asarray(black, np.float32)
+            params = jnp.concatenate(
+                [a, a_age, a_edu, a_ae,
+                 jnp.reshape(b_female, (1,)), jnp.reshape(b_black, (1,))])
+            return jnp.matmul(jnp.asarray(design), params,
+                              precision=jax.lax.Precision.HIGHEST)
         return (take(a, state, region.shape[0])
                 + b_female * female + b_black * black
                 + take(a_age, age, n_age) + take(a_edu, edu, n_edu)

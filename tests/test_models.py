@@ -150,7 +150,13 @@ def test_take_matmul_matches_gather(name):
     pot = make_potential_fn(spec.model, info, spec.args)
     z = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (4, info.dim))
     old = zoo.GATHER_IMPL
+    old_fused = zoo.FUSED_DESIGN
     try:
+        # pin the separate-takes formulation: this test asserts take()'s
+        # per-site one-hot lowering is BIT-exact vs gather; the fused
+        # design matmul (different summation order) has its own
+        # allclose-level test below
+        zoo.FUSED_DESIGN = False
         zoo.GATHER_IMPL = "matmul"
         u_m, g_m = jax.vmap(jax.value_and_grad(pot))(z)
         zoo.GATHER_IMPL = "gather"
@@ -162,12 +168,41 @@ def test_take_matmul_matches_gather(name):
         u_a, g_a = jax.vmap(jax.value_and_grad(pot))(z)
     finally:
         zoo.GATHER_IMPL = old
+        zoo.FUSED_DESIGN = old_fused
     np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_g), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g), rtol=1e-5,
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(u_a), np.asarray(u_g), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_g), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("dataset", [None, "raw"])
+def test_election88_fused_design_matches_separate_takes(dataset):
+    """election88's fused design matmul (one constant multi-hot matrix
+    folding 4 take() lookups + 2 fixed-effect columns into a single MXU
+    contraction; zoo.FUSED_DESIGN) computes the same potential and
+    gradient as the separate-takes formulation — the traffic-reduction
+    rewrite the roofline analysis calls for (PERF.md)."""
+    from autoreparam_tpu.models import zoo
+
+    spec = get_model("election88", dataset)
+    info = get_model_info(spec.model, spec.args)
+    pot = make_potential_fn(spec.model, info, spec.args)
+    z = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (4, info.dim))
+    old = zoo.FUSED_DESIGN
+    try:
+        zoo.FUSED_DESIGN = True
+        u_f, g_f = jax.vmap(jax.value_and_grad(pot))(z)
+        zoo.FUSED_DESIGN = False
+        u_s, g_s = jax.vmap(jax.value_and_grad(pot))(z)
+    finally:
+        zoo.FUSED_DESIGN = old
+    # one contraction reassociates the f32 sums the separate takes did
+    # in program order: allclose, not bit-equal (measured max rel 5e-5)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=2e-4,
+                               atol=1e-3)
 
 
 def test_take_rejects_out_of_range_indices():
