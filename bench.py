@@ -83,9 +83,20 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     # --- VI phase: learn lambda (cVIP) --------------------------------
     t0 = time.perf_counter()
     sites = tuple(eligible_sites(base_model, spec.args))
-    vi = fit_vi(base_model, spec.args, vip_sites=sites,
-                num_steps=vi_steps, num_mc_samples=8,
-                learning_rate=0.05, key=k_vi)
+    if os.environ.get("BENCH_VI_AUTO", "0") == "1":
+        # plateau-gated budget (vi.fit_vi_auto): ELBO-chunked early
+        # stop + cosine tail instead of the hand-picked step count —
+        # the amortized-ESS/s lever (VI wall dominates the pipeline
+        # at the bench's sampling speed)
+        from autoreparam_tpu.inference.vi import fit_vi_auto
+        vi = fit_vi_auto(base_model, spec.args, vip_sites=sites,
+                         max_steps=vi_steps, chunk_steps=250,
+                         tail_steps=250, num_mc_samples=8,
+                         learning_rate=0.05, key=k_vi)
+    else:
+        vi = fit_vi(base_model, spec.args, vip_sites=sites,
+                    num_steps=vi_steps, num_mc_samples=8,
+                    learning_rate=0.05, key=k_vi)
     jax.block_until_ready(vi.loc)
     vi_wall = time.perf_counter() - t0
     log(f"VI done in {vi_wall:.1f}s")
