@@ -396,6 +396,10 @@ def main():
         "vs_baseline": (round(vs, 2) if vs == vs else None),
         "detail": res,
         "baseline_cpu": base,
+        # freshness guard: artifacts saved under results/bench/ carry
+        # their measurement time so tools/check_freshness.py can catch
+        # a PERF.md rendered before the newest measurement
+        "timestamp": time.time(),
     }))
 
 

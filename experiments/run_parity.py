@@ -24,6 +24,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def write_md(merged, results_dir):
+    """PARITY.md from the merged checks dict (single source of truth)."""
+    from autoreparam_tpu.utils import docstamp
+    lines = ["# PARITY — BASELINE config results",
+             "",
+             "| # | config | status | mode | detail |",
+             "|---|--------|--------|------|--------|"]
+    for n in sorted(merged):
+        c = merged[n]
+        lines.append(
+            f"| {n} | {c['name']} | "
+            f"{'✅ PASS' if c['passed'] else '❌ FAIL'} | "
+            f"{c['mode']}/{c['backend']} {c['date']} | {c['note']} |")
+    lines += ["", f"Raw results: `{results_dir}/`.", "",
+              docstamp.stamp()]
+    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote PARITY.md")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -31,7 +51,15 @@ def main():
                     default=os.path.join(REPO, "results", "parity"))
     ap.add_argument("--skip", default="",
                     help="comma-separated config numbers to skip")
+    ap.add_argument("--render", action="store_true",
+                    help="rewrite PARITY.md from the committed "
+                         "checks.json without running anything")
     args = ap.parse_args()
+    if args.render:
+        with open(os.path.join(args.results_dir, "checks.json")) as f:
+            merged = {int(k): v for k, v in json.load(f).items()}
+        write_md(merged, args.results_dir)
+        return
     skip = {int(x) for x in args.skip.split(",") if x}
 
     import jax
@@ -256,22 +284,7 @@ def main():
                f"wall={res.summary['wall_time_s']:.1f}s")
 
     # ---- PARITY.md (merged across invocations) ------------------------
-    merged = _flush_checks()
-    lines = ["# PARITY — BASELINE config results",
-             "",
-             "| # | config | status | mode | detail |",
-             "|---|--------|--------|------|--------|"]
-    for n in sorted(merged):
-        c = merged[n]
-        lines.append(
-            f"| {n} | {c['name']} | "
-            f"{'✅ PASS' if c['passed'] else '❌ FAIL'} | "
-            f"{c['mode']}/{c['backend']} {c['date']} | {c['note']} |")
-    lines.append("")
-    lines.append(f"Raw results: `{args.results_dir}/`.")
-    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote PARITY.md")
+    write_md(_flush_checks(), args.results_dir)
     if not all(c[2] for c in checks):
         sys.exit(1)
 

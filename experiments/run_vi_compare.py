@@ -29,13 +29,75 @@ MODELS = ["eight_schools", "neals_funnel", "radon",
 METHODS = ["cp", "ncp", "cvip"]
 
 
+def write_md(table, steps, q, results_dir):
+    """VI_ELBO.md from the {model: {method: elbo}} table."""
+    from autoreparam_tpu.utils import docstamp
+    lines = [
+        "# VI ELBO per parameterisation (SURVEY.md §4.4)",
+        "",
+        f"Mean-field ADVI, {steps} Adam steps (cosine-tail LR), 8 MC "
+        "samples, seed 0, best of 8 vmapped restarts (full mode — the "
+        "joint (q, λ) objective is multi-basin; see "
+        "docs/DESIGN.md), per-model optimizer knobs from "
+        "`run_zoo.FULL_OVERRIDES` (same recipe as ZOO_FULL.md). cVIP "
+        "optimizes λ jointly; its ELBO should match or beat the better "
+        "of CP/NCP on every model (it interpolates between them on "
+        "this exact objective).",
+        "",
+        "| model | CP | NCP | cVIP | cVIP ≥ best(CP,NCP)−1 nat |",
+        "|---|---|---|---|---|",
+    ]
+    ok_all = True
+    for model, row in table.items():
+        best = max(row.get("cp", float("-inf")),
+                   row.get("ncp", float("-inf")))
+        cvip = row.get("cvip", float("nan"))
+        ok = cvip >= best - 1.0  # 1-nat MC slack
+        ok_all = ok_all and ok
+        lines.append(
+            f"| {model} | {row.get('cp', float('nan')):.2f} | "
+            f"{row.get('ncp', float('nan')):.2f} | {cvip:.2f} | "
+            f"{'yes' if ok else 'NO'} |")
+    lines += ["", f"Mode: {'quick' if q else 'full'}; raw JSONs in "
+              f"`{os.path.relpath(results_dir, REPO)}/`.", "",
+              docstamp.stamp()]
+    with open(os.path.join(REPO, "VI_ELBO.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote VI_ELBO.md; all-pass:", ok_all)
+
+
+def render(results_dir):
+    """Rebuild VI_ELBO.md from the committed per-cell JSONs (newest
+    per model × method — the same dedupe rule as make_zoo_table)."""
+    import glob
+    import json
+    best = {}
+    for path in glob.glob(os.path.join(results_dir, "*.json")):
+        with open(path) as f:
+            d = json.load(f)
+        key = (d["model"], d["method"])
+        if key not in best or d["timestamp"] > best[key]["timestamp"]:
+            best[key] = d
+    table, steps = {}, 0
+    for (model, method), d in sorted(best.items()):
+        table.setdefault(model, {})[method] = d["elbo"]
+        steps = max(steps, int(d.get("num_optimization_steps", 0)))
+    write_md(table, steps, q=steps < 5000, results_dir=results_dir)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--models", default=",".join(MODELS))
     ap.add_argument("--results_dir",
                     default=os.path.join(REPO, "results", "vi_elbo"))
+    ap.add_argument("--render", action="store_true",
+                    help="rewrite VI_ELBO.md from committed JSONs "
+                         "without fitting anything")
     args = ap.parse_args()
+    if args.render:
+        render(args.results_dir)
+        return
 
     import jax
     try:
@@ -85,37 +147,7 @@ def main():
                 traceback.print_exc()
                 table.setdefault(spec.name, {})[method] = float("nan")
 
-    lines = [
-        "# VI ELBO per parameterisation (SURVEY.md §4.4)",
-        "",
-        f"Mean-field ADVI, {steps} Adam steps (cosine-tail LR), 8 MC "
-        "samples, seed 0, best of 8 vmapped restarts (full mode — the "
-        "joint (q, λ) objective is multi-basin; see "
-        "docs/DESIGN.md), per-model optimizer knobs from "
-        "`run_zoo.FULL_OVERRIDES` (same recipe as ZOO_FULL.md). cVIP "
-        "optimizes λ jointly; its ELBO should match or beat the better "
-        "of CP/NCP on every model (it interpolates between them on "
-        "this exact objective).",
-        "",
-        "| model | CP | NCP | cVIP | cVIP ≥ best(CP,NCP)−1 nat |",
-        "|---|---|---|---|---|",
-    ]
-    ok_all = True
-    for model, row in table.items():
-        best = max(row.get("cp", float("-inf")),
-                   row.get("ncp", float("-inf")))
-        cvip = row.get("cvip", float("nan"))
-        ok = cvip >= best - 1.0  # 1-nat MC slack
-        ok_all = ok_all and ok
-        lines.append(
-            f"| {model} | {row.get('cp', float('nan')):.2f} | "
-            f"{row.get('ncp', float('nan')):.2f} | {cvip:.2f} | "
-            f"{'yes' if ok else 'NO'} |")
-    lines += ["", f"Mode: {'quick' if q else 'full'}; raw JSONs in "
-              f"`{os.path.relpath(args.results_dir, REPO)}/`."]
-    with open(os.path.join(REPO, "VI_ELBO.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote VI_ELBO.md; all-pass:", ok_all)
+    write_md(table, steps, q, args.results_dir)
 
 
 if __name__ == "__main__":

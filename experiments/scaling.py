@@ -87,6 +87,7 @@ def main():
             "ess_min_per_sec": round(float(ess.min() / wall), 1),
             "M_leapfrog_chain_steps_per_sec": round(steps / wall / 1e6,
                                                     1),
+            "timestamp": time.time(),
         }
         points.append(point)
         print(json.dumps(point), flush=True)
