@@ -259,12 +259,19 @@ def fit_vi(model: Callable,
         (params, _), elbos = jax.lax.scan(step, (p0, opt.init(p0)), keys)
         return params, elbos
 
+    # jit the WHOLE fit (not just the inner scan): an eager lax.scan
+    # compiles every process start and is invisible to the persistent
+    # compile cache — measured 16.8s first-call vs 0.6s steady on the
+    # TPU bench shapes — while the jitted fit deserializes from
+    # .jax_cache/. Everything data-dependent (key, perturb) is a traced
+    # argument; the HLO depends only on the model constants and sizes,
+    # so it is identical across invocations (CLAUDE.md cache rule).
     if num_restarts <= 1:
-        params, elbos = one_fit(key, 0.0)
+        params, elbos = jax.jit(one_fit)(key, jnp.float32(0.0))
     else:
         # vmapping the whole fit runs the restarts as one batched
         # program — restarts are data parallelism here
-        params_k, elbos_k = jax.vmap(one_fit)(
+        params_k, elbos_k = jax.jit(jax.vmap(one_fit))(
             jax.random.split(key, num_restarts),
             jnp.arange(num_restarts, dtype=jnp.float32).clip(0.0, 1.0))
         score = jnp.mean(elbos_k[:, -100:], axis=-1)

@@ -48,7 +48,12 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     cache_dir = os.path.join(REPO, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: persist even trivial eager ops — on the 1-core host each
+        # tiny op (reshape/concatenate/PRNG) costs ~0.5s to compile and
+        # a dozen of them run before the jitted programs; at the 1s
+        # default threshold they were recompiled EVERY bench run
+        # (measured: ~5s of the VI-phase wall)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as e:
         log(f"compile cache unavailable: {e}")
     if os.environ.get("BENCH_PRNG", "rbg") == "rbg":

@@ -42,7 +42,7 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from autoreparam_tpu.inference import run_experiment
     from autoreparam_tpu.models import get_model

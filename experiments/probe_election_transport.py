@@ -35,7 +35,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(REPO, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
     except Exception:
         pass
 
