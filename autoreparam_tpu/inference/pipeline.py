@@ -291,6 +291,27 @@ def run_experiment(spec: ModelSpec,
         from ..parallel import make_mesh
         mesh = make_mesh()
 
+    # Local (unsharded) engines run under ONE jax.jit with the learned
+    # λ and the q*-derived init/mass as TRACED arguments: the compiled
+    # HLO then depends only on the model's data constants and static
+    # budgets, so the persistent compile cache (.jax_cache) hits
+    # across processes even though every cVIP run learns a different
+    # λ — an eagerly-run lax.scan is invisible to that cache and was
+    # re-compiled every invocation (bench.py's cache rule, applied to
+    # the library pipeline; CLAUDE.md).  The sharded runners already
+    # jit; NUTS keeps its internal donate_argnums chunking (an outer
+    # jit would drop donation and regrow its peak memory).
+    vip_lam = lam if method in ("cvip", "dvip") else None
+
+    def _lam_pot_collect(lam_a):
+        """(potential, collect) with λ traced (or the static model)."""
+        m = (make_vip_model(model, lam_a) if lam_a is not None
+             else sampled_model)
+        p = make_potential_fn(m, info, args, kwargs)
+        c = (recover_fn(m, info, args, kwargs, log_readout=log_readout)
+             if collect_constrained else None)
+        return p, c
+
     t0 = time.perf_counter()
     if method == "interleaved":
         if mesh is not None:
@@ -299,9 +320,11 @@ def run_experiment(spec: ModelSpec,
                 model, init, k_run, cfg, mesh, model_args=args,
                 model_kwargs=kwargs, collect_fn=collect)
         else:
-            samples, stats = run_interleaved_hmc(
-                model, init, k_run, cfg, model_args=args,
-                model_kwargs=kwargs, collect_fn=collect)
+            samples, stats = jax.jit(
+                lambda init_a, key_a: run_interleaved_hmc(
+                    model, init_a, key_a, cfg, model_args=args,
+                    model_kwargs=kwargs, collect_fn=collect)
+            )(init, k_run)
         grad_multiplier = 2.0
     elif inference == "nuts":
         pot = make_potential_fn(sampled_model, info, args, kwargs)
@@ -331,9 +354,12 @@ def run_experiment(spec: ModelSpec,
                 pot, init, k_run, mesh, config=ccfg,
                 inv_mass_diag=im1d, collect_fn=collect)
         else:
-            samples, stats = run_chees(pot, init, k_run, ccfg,
-                                       inv_mass_diag=im1d,
-                                       collect_fn=collect)
+            def _chees_local(lam_a, init_a, key_a, im_a):
+                p, c = _lam_pot_collect(lam_a)
+                return run_chees(p, init_a, key_a, ccfg,
+                                 inv_mass_diag=im_a, collect_fn=c)
+            samples, stats = jax.jit(_chees_local)(vip_lam, init,
+                                                   k_run, im1d)
     elif inference == "ghmc":
         from .ghmc import GHMCConfig, run_ghmc
         # thin > 1 keeps every thin-th sweep (1 gradient per sweep,
@@ -354,9 +380,12 @@ def run_experiment(spec: ModelSpec,
                 pot, init, k_run, mesh, config=gcfg,
                 inv_mass_diag=im1d, collect_fn=collect)
         else:
-            samples, stats = run_ghmc(pot, init, k_run, gcfg,
-                                      inv_mass_diag=im1d,
-                                      collect_fn=collect)
+            def _ghmc_local(lam_a, init_a, key_a, im_a):
+                p, c = _lam_pot_collect(lam_a)
+                return run_ghmc(p, init_a, key_a, gcfg,
+                                inv_mass_diag=im_a, collect_fn=c)
+            samples, stats = jax.jit(_ghmc_local)(vip_lam, init,
+                                                  k_run, im1d)
     else:
         pot = make_potential_fn(sampled_model, info, args, kwargs)
         if mesh is not None:
@@ -365,9 +394,12 @@ def run_experiment(spec: ModelSpec,
                                              inv_mass_diag=inv_mass,
                                              collect_fn=collect)
         else:
-            samples, stats = H.run_hmc(pot, init, k_run, cfg,
-                                       inv_mass_diag=inv_mass,
-                                       collect_fn=collect)
+            def _hmc_local(lam_a, init_a, key_a, im_a):
+                p, c = _lam_pot_collect(lam_a)
+                return H.run_hmc(p, init_a, key_a, cfg,
+                                 inv_mass_diag=im_a, collect_fn=c)
+            samples, stats = jax.jit(_hmc_local)(vip_lam, init,
+                                                 k_run, inv_mass)
     jax.block_until_ready(samples)
     wall = time.perf_counter() - t0
 
