@@ -296,17 +296,32 @@ def tpu_preflight(
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
             "print(float((x @ x).sum()))")
     for attempt in range(2):
-        try:
-            out = subprocess.run([sys.executable, "-c", code],
-                                 capture_output=True, text=True,
-                                 timeout=timeout_s)
-            if out.returncode == 0:
+        # Popen + poll, NOT subprocess.run(timeout=...): run() KILLS the
+        # probe mid-TPU-op on timeout, and a client killed mid-op leaves
+        # the axon service wedged for the minutes that follow — the next
+        # connect enumerates devices fine but compute requests queue
+        # behind the zombie session (observed 2026-08-19: three bench
+        # runs in a row hung in the VI phase at <1% CPU after their own
+        # timed-out preflights were killed; CLAUDE.md's "killed
+        # mid-compile runs have previously faulted later jobs" is the
+        # same failure).  On timeout the probe is LEFT RUNNING to finish
+        # and exit on its own — it is one trivial matmul.
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            rc = proc.poll()
+            if rc == 0:
                 return True
-            log(f"TPU preflight attempt {attempt + 1} failed rc="
-                f"{out.returncode}: {out.stderr.strip().splitlines()[-1:]}")
-        except subprocess.TimeoutExpired:
+            if rc is not None:
+                log(f"TPU preflight attempt {attempt + 1} failed "
+                    f"rc={rc}")
+                break
+            time.sleep(2.0)
+        else:
             log(f"TPU preflight attempt {attempt + 1} timed out "
-                f"({timeout_s}s)")
+                f"({timeout_s}s); probe left to finish on its own")
     return False
 
 
