@@ -262,6 +262,7 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         "num_samples": num_samples,
         "tail_transport": os.environ.get("BENCH_TAIL_TRANSPORT",
                                          "0") == "1",
+        "vi_auto": os.environ.get("BENCH_VI_AUTO", "0") == "1",
         "backend": jax.default_backend(),
         "lambda_mean": {k: float(np.asarray(v).mean())
                         for k, v in vi.lam.items()},
@@ -388,8 +389,15 @@ def main():
                 with open(path) as f:
                     cand = json.load(f)
                 detail = cand.get("detail", cand)
+                # default-config runs only: knob A/B artifacts (ghmc
+                # engine, tail transport, plateau-gated VI) measure a
+                # different pipeline and must not stand in for the
+                # headline when the tunnel is down.
                 if detail.get("backend") == "tpu" and \
-                        not detail.get("degraded_cpu_fallback"):
+                        not detail.get("degraded_cpu_fallback") and \
+                        detail.get("engine", "chees") == "chees" and \
+                        not detail.get("tail_transport") and \
+                        not detail.get("vi_auto"):
                     prev, last = cand, path
                     break
             if prev is None:
