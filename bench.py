@@ -288,15 +288,33 @@ def cpu_baseline():
     return data
 
 
+#: Why the last tpu_preflight() returned False — recorded into the
+#: degraded JSON line so a driver-captured CPU fallback says what the
+#: TPU actually did (VERDICT r4 weak #1: the r4 fallback artifact
+#: carried no failure provenance).
+PREFLIGHT_DIAGNOSIS = None
+
+
 def tpu_preflight(
-        timeout_s=int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 240))):
+        timeout_s=int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 240)),
+        attempts=int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", 3))):
     """Probe TPU availability in a subprocess (the axon tunnel can hang
     for minutes before failing UNAVAILABLE; a hung in-process backend
     init would take the whole bench down with it).  Returns True when a
-    trivial compiled op completes on the TPU within the timeout."""
-    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
-            "print(float((x @ x).sum()))")
-    for attempt in range(2):
+    trivial compiled op completes on the TPU within the timeout.
+
+    The probe prints phase markers so a failure is attributable:
+    "ENUM <n> <platform>" after device enumeration, the matmul result
+    after compute.  A timeout with ENUM seen is the documented
+    zombie-session wedge (devices enumerate, compute queues behind a
+    dead session — CLAUDE.md); the settle wait between attempts is
+    sized to outlast it (measured minutes, so 120s x escalating)."""
+    global PREFLIGHT_DIAGNOSIS
+    code = ("import jax; ds = jax.devices(); "
+            "print('ENUM', len(ds), ds[0].platform, flush=True); "
+            "import jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "print('COMPUTE', float((x @ x).sum()), flush=True)")
+    for attempt in range(attempts):
         # Popen + poll, NOT subprocess.run(timeout=...): run() KILLS the
         # probe mid-TPU-op on timeout, and a client killed mid-op leaves
         # the axon service wedged for the minutes that follow — the next
@@ -307,22 +325,53 @@ def tpu_preflight(
         # mid-compile runs have previously faulted later jobs" is the
         # same failure).  On timeout the probe is LEFT RUNNING to finish
         # and exit on its own — it is one trivial matmul.
-        proc = subprocess.Popen([sys.executable, "-c", code],
-                                stdout=subprocess.DEVNULL,
-                                stderr=subprocess.DEVNULL)
+        out_path = os.path.join(REPO, ".preflight_probe.out")
+        with open(out_path, "w") as out_f:
+            proc = subprocess.Popen([sys.executable, "-c", code],
+                                    stdout=out_f,
+                                    stderr=subprocess.STDOUT)
         deadline = time.monotonic() + timeout_s
+        rc = None
         while time.monotonic() < deadline:
             rc = proc.poll()
-            if rc == 0:
-                return True
             if rc is not None:
-                log(f"TPU preflight attempt {attempt + 1} failed "
-                    f"rc={rc}")
                 break
             time.sleep(2.0)
-        else:
-            log(f"TPU preflight attempt {attempt + 1} timed out "
-                f"({timeout_s}s); probe left to finish on its own")
+
+        def _probe_out():
+            try:
+                with open(out_path) as f:
+                    return f.read()
+            except OSError:
+                return ""
+
+        if rc == 0 and "COMPUTE" in _probe_out():
+            PREFLIGHT_DIAGNOSIS = None
+            return True
+        txt = _probe_out()
+        enum_seen = "ENUM" in txt
+        phase = ("compute-hang (devices enumerated — the zombie-session "
+                 "wedge)" if enum_seen and rc is None
+                 else "enumeration-hang (no devices listed)"
+                 if rc is None
+                 else f"probe exit rc={rc}")
+        tail = txt.strip().splitlines()[-3:]
+        PREFLIGHT_DIAGNOSIS = {
+            "attempt": attempt + 1, "phase": phase,
+            "timeout_s": timeout_s, "probe_tail": tail,
+        }
+        log(f"TPU preflight attempt {attempt + 1}/{attempts}: {phase}"
+            + (f"; tail={tail}" if tail else ""))
+        if rc is None:
+            log("probe left to finish on its own (never killed mid-op)")
+        if attempt + 1 < attempts:
+            # escalating settle: the wedge clears on its own once the
+            # zombie session times out server-side (minutes); waiting
+            # here is what turns a transient wedge into a real-TPU
+            # BENCH artifact instead of a CPU fallback.
+            settle = 120.0 * (attempt + 1)
+            log(f"settling {settle:.0f}s before retry")
+            time.sleep(settle)
     return False
 
 
@@ -369,6 +418,8 @@ def main():
         vi_steps=int(os.environ.get("BENCH_VI_STEPS", 1500)),
         engine=os.environ.get("BENCH_ENGINE", "chees"))
     res["degraded_cpu_fallback"] = degraded
+    if degraded and PREFLIGHT_DIAGNOSIS is not None:
+        res["preflight_diagnosis"] = PREFLIGHT_DIAGNOSIS
     if degraded:
         # the degraded line is NOT the framework's TPU performance;
         # surface the newest committed real-TPU measurement alongside
@@ -417,7 +468,7 @@ def main():
     except Exception as e:  # baseline unavailable: report raw
         base = {"error": str(e)}
         vs = float("nan")
-    print(json.dumps({
+    payload = {
         "metric": "radon_MN_vip_hmc_ess_per_sec_per_chip",
         "value": round(res["ess_per_sec"], 2),
         "unit": "min-ESS/s",
@@ -428,7 +479,20 @@ def main():
         # their measurement time so tools/check_freshness.py can catch
         # a PERF.md rendered before the newest measurement
         "timestamp": time.time(),
-    }))
+    }
+    print(json.dumps(payload))
+    # Write the committed-artifact copy directly (pretty-printed, with
+    # trailing newline) so results/bench/ files are machine-generated
+    # end to end — no hand re-formatting step in the provenance chain
+    # (ADVICE r4: bench_r4_slice.json was post-processed outside
+    # bench.py).  BENCH_SAVE names the file; default bench_latest.json.
+    save_name = os.environ.get("BENCH_SAVE", "bench_latest.json")
+    save_path = os.path.join(REPO, "results", "bench", save_name)
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    with open(save_path, "w") as f:
+        json.dump(payload, f, indent=4)
+        f.write("\n")
+    log(f"artifact written: {os.path.relpath(save_path, REPO)}")
 
 
 if __name__ == "__main__":

@@ -37,8 +37,22 @@ def write_md(merged, results_dir):
             f"| {n} | {c['name']} | "
             f"{'✅ PASS' if c['passed'] else '❌ FAIL'} | "
             f"{c['mode']}/{c['backend']} {c['date']} | {c['note']} |")
-    lines += ["", f"Raw results: `{results_dir}/`.", "",
-              docstamp.stamp()]
+    lines += [
+        "",
+        "PASS semantics: each config's oracle is posterior-mean "
+        "agreement within 2σ MC error against this framework's own "
+        "converged arm (BASELINE.json's parity metric — the reference "
+        "published no numbers, SURVEY.md §7), plus the config-specific "
+        "gates in the detail column.  An arm may legitimately fail to "
+        "converge and still PASS: config #1's CP chain on eight_schools "
+        "is the paper's motivating pathology (R-hat 2.3 at the parity "
+        "budget is the *expected* CP behavior), so the check there is "
+        "that the converged NCP arm reproduces the documented posterior "
+        "and that CP's means still agree within the (inflated, "
+        "R-hat-aware) MC tolerance — not that CP mixes.",
+        "",
+        f"Raw results: `{results_dir}/`.", "",
+        docstamp.stamp()]
     with open(os.path.join(REPO, "PARITY.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote PARITY.md")
