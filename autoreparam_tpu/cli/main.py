@@ -67,6 +67,12 @@ flags.DEFINE_integer("num_vi_restarts", 1,
 flags.DEFINE_enum("vip_lam_tie", "element", ["element", "site"],
                   "lambda granularity: per-element (paper default) or "
                   "one tied lambda per site")
+flags.DEFINE_float("lam_reg", None,
+                   "lambda-regularization weight: asymmetric quadratic "
+                   "tilt w*sum(lambda^2) annealed into the VI objective "
+                   "so ELBO-flat lambda resolves toward NCP instead of "
+                   "Adam's noise (default: vi.LAM_REG_DEFAULT; 0 = the "
+                   "untilted reference objective)")
 flags.DEFINE_bool("dvip_refit", True,
                   "re-fit q on the thresholded model before the dVIP "
                   "HMC phase (init/mass must describe the model "
@@ -137,6 +143,7 @@ def _run_one(spec, num_leapfrog):
         num_vi_restarts=FLAGS.num_vi_restarts,
         vi_rank=FLAGS.vi_rank,
         vip_lam_tie=FLAGS.vip_lam_tie,
+        lam_reg=FLAGS.lam_reg,
         dvip_refit=FLAGS.dvip_refit,
         dvip_threshold=FLAGS.dvip_threshold,
         dvip_keep_band=FLAGS.dvip_keep_band,

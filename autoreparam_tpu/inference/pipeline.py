@@ -111,6 +111,7 @@ def run_experiment(spec: ModelSpec,
                    num_vi_restarts: int = 1,
                    vi_rank: int = 0,
                    vip_lam_tie: str = "element",
+                   lam_reg: Optional[float] = None,
                    dvip_refit: bool = True,
                    dvip_threshold: float = 0.5,
                    dvip_keep_band: float = 0.0,
@@ -163,13 +164,14 @@ def run_experiment(spec: ModelSpec,
                                num_mc_samples=num_mc_samples,
                                learning_rate=learning_rate, key=key,
                                num_restarts=num_restarts,
-                               lam_tie=lam_tie, q_rank=vi_rank)
+                               lam_tie=lam_tie, q_rank=vi_rank,
+                               lam_reg=lam_reg)
         return fit_vi(mdl, args, kwargs, vip_sites=vip_sites,
                       num_steps=num_optimization_steps,
                       num_mc_samples=num_mc_samples,
                       learning_rate=learning_rate, key=key,
                       num_restarts=num_restarts, lam_tie=lam_tie,
-                      q_rank=vi_rank)
+                      q_rank=vi_rank, lam_reg=lam_reg)
 
     vi_res = None
     lam = None
@@ -222,6 +224,7 @@ def run_experiment(spec: ModelSpec,
             "learning_rate": learning_rate,
             "num_vi_restarts": num_vi_restarts,
             "vip_lam_tie": vip_lam_tie,
+            "lam_reg": lam_reg,
             "seed": seed,
         }
         if lam is not None:
@@ -460,6 +463,7 @@ def run_experiment(spec: ModelSpec,
         "use_vi_mass": bool(use_vi_mass),
         "num_vi_restarts": num_vi_restarts,
         "vip_lam_tie": vip_lam_tie,
+        "lam_reg": lam_reg,
         "dvip_refit": bool(dvip_refit),
         "dvip_threshold": (dvip_threshold if method == "dvip" else None),
         "dvip_keep_band": (dvip_keep_band if method == "dvip" else None),

@@ -92,10 +92,34 @@ def _gaussian_entropy(log_scale):
     return jnp.sum(log_scale) + 0.5 * log_scale.size * _LOG_2PI_E
 
 
+#: Default λ-regularization weight (see fit_vi(lam_reg=...)): nats of
+#: per-element ELBO advantage required to hold a site centered.  The
+#: asymmetric quadratic tilt w·Σλ² resolves ELBO-flat λ toward NCP —
+#: the paper's own asymmetry: a wrongly-centered scale hyper recreates
+#: the funnel (catastrophic: election88 dVIP@0.5 collapses to 7.8
+#: ess/grad via λ(a_edu)≈0.5 → CP), while a wrongly-non-centered one
+#: mixes merely slower.  Mid-range λ on weakly-identified blocks is not
+#: a neutral compromise either: λ(a_age)≈0.73 left a residual
+#: sigma_age funnel that cost a seed 33.6 vs 420+ ess/grad (zoo_full
+#: cohort, results/zoo_full/election88__cvip__hmc__13022079.json).
+#: Calibration: the ELBO's λ-curvature on well-identified sites is
+#: >> 1 nat (funnel λ(x) holds 0.01, gammascale holds its CP basin)
+#: while ELBO-indifferent sites (fixed-prior coefficients, small
+#: exchangeable blocks) sit at |∂ELBO/∂λ| ≈ 0 — any w in (0.1, 1)
+#: separates the two; zoo A/B at the default in results/zoo_lamreg.
+LAM_REG_DEFAULT = 0.5
+
+
 def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
-                init_loc, num_mc_samples, q_rank: int = 0):
+                init_loc, num_mc_samples, q_rank: int = 0,
+                lam_reg: float = 0.0):
     """Shared setup for fit_vi / fit_vi_auto: the (possibly VIP-wrapped)
     model's latent layout, neutral init, and the MC negative-ELBO.
+
+    The returned objective is `neg_elbo(params, key, reg_w)` where
+    `reg_w` scales the λ-regularization tilt `Σ_elements λ²` for this
+    step (callers anneal it 0 → lam_reg so the early search is pure
+    ELBO and only the converged λ feels the tiebreak).
 
     `q_rank > 0` upgrades q from mean-field to low-rank-plus-diagonal
     N(loc, diag(σ²) + VVᵀ) with V ∈ R^{D×r} (beyond the reference's
@@ -138,7 +162,7 @@ def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
         params0["factor"] = 0.01 * jax.random.normal(
             jax.random.PRNGKey(7), (D, q_rank))
 
-    def neg_elbo(params, key):
+    def neg_elbo(params, key, reg_w=0.0):
         lam = {s: jax.nn.sigmoid(v)
                for s, v in params["lam_logit"].items()}
         mdl = make_vip_model(model, lam) if vip_sites is not None else model
@@ -158,7 +182,11 @@ def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
             z = params["loc"] + scale * eps
             entropy = _gaussian_entropy(params["log_scale"])
         e_logp = -jnp.mean(jax.vmap(pot)(z))
-        return -(e_logp + entropy)
+        # λ-regularization tilt (docstring above): flat-ELBO λ resolves
+        # to NCP; a site stays centered only if the ELBO pays for it.
+        reg = sum((jnp.sum(v ** 2) for v in lam.values()),
+                  jnp.zeros(()))
+        return -(e_logp + entropy) + reg_w * reg
 
     return info, params0, neg_elbo, lam_shapes
 
@@ -195,9 +223,17 @@ def fit_vi(model: Callable,
            init_loc: Optional[jnp.ndarray] = None,
            num_restarts: int = 1,
            lam_tie: str = "element",
-           q_rank: int = 0) -> VIResult:
+           q_rank: int = 0,
+           lam_reg: Optional[float] = None) -> VIResult:
     """Fit mean-field q; if `vip_sites` is given, the model is rewritten
     into VIP form on those sites and λ is learned jointly (cVIP).
+
+    `lam_reg` (None → LAM_REG_DEFAULT) is the λ-regularization weight:
+    an asymmetric quadratic tilt `w·Σλ²` on the learned λ, annealed in
+    over the first half of the budget, that resolves ELBO-flat λ toward
+    NCP instead of leaving it wherever Adam's noise drifted (see
+    LAM_REG_DEFAULT's calibration note).  Pass 0.0 for the untilted
+    reference objective (SURVEY.md §4.2 verbatim).
 
     `vip_sites=None` fits plain ADVI on the model as passed (use a
     CP/NCP-rewritten model for the reference's `--inference=VI`
@@ -217,10 +253,19 @@ def fit_vi(model: Callable,
     """
     model_kwargs = model_kwargs or {}
     key = key if key is not None else jax.random.PRNGKey(0)
+    if lam_reg is None:
+        lam_reg = LAM_REG_DEFAULT
 
     info, params0, neg_elbo, lam_shapes = _vi_problem(
         model, model_args, model_kwargs, vip_sites, lam_tie, init_loc,
-        num_mc_samples, q_rank)
+        num_mc_samples, q_rank, lam_reg)
+
+    # λ-tilt annealing: 0 over the early search (pure ELBO picks the
+    # basin), ramping to lam_reg by mid-budget so only the converged λ
+    # feels the tiebreak.
+    reg_ws = lam_reg * jnp.clip(
+        jnp.arange(num_steps, dtype=jnp.float32)
+        / max(0.5 * num_steps, 1.0), 0.0, 1.0)
 
     # Constant LR for 70% of the budget, then a cosine tail to ~0: the
     # tail makes the final (q*, λ*) a near-fixed point of the optimizer
@@ -242,12 +287,21 @@ def fit_vi(model: Callable,
         raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
     opt = optax.adam(lr)
 
-    def step(carry, key):
+    def _lam_sq(params):
+        return sum((jnp.sum(jax.nn.sigmoid(v) ** 2)
+                    for v in params["lam_logit"].values()),
+                   jnp.zeros(()))
+
+    def step(carry, xs):
+        key, reg_w = xs
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(neg_elbo)(params, key)
+        loss, grads = jax.value_and_grad(neg_elbo)(params, key, reg_w)
+        # the traced ELBO excludes the tilt: restart selection and the
+        # persisted elbo_trace stay comparable across lam_reg settings
+        elbo = -(loss - reg_w * _lam_sq(params))
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), -loss
+        return (params, opt_state), elbo
 
     def one_fit(key, perturb):
         # restarts must *start* in different basins to explore them
@@ -256,7 +310,8 @@ def fit_vi(model: Callable,
         k_init, k_run = jax.random.split(key)
         p0 = _perturbed_init(params0, k_init, perturb, lam_shapes)
         keys = jax.random.split(k_run, num_steps)
-        (params, _), elbos = jax.lax.scan(step, (p0, opt.init(p0)), keys)
+        (params, _), elbos = jax.lax.scan(step, (p0, opt.init(p0)),
+                                          (keys, reg_ws))
         return params, elbos
 
     # jit the WHOLE fit (not just the inner scan): an eager lax.scan
@@ -304,7 +359,8 @@ def fit_vi_auto(model: Callable,
                 init_loc: Optional[jnp.ndarray] = None,
                 num_restarts: int = 1,
                 lam_tie: str = "element",
-                q_rank: int = 0) -> VIResult:
+                q_rank: int = 0,
+                lam_reg: Optional[float] = None) -> VIResult:
     """fit_vi with the step budget chosen by the ELBO instead of by
     hand: constant-LR chunks of `chunk_steps` run until the mean ELBO
     of a chunk's last 100 steps improves on the previous chunk's by
@@ -324,39 +380,52 @@ def fit_vi_auto(model: Callable,
     key = key if key is not None else jax.random.PRNGKey(0)
     if tail_steps is None:
         tail_steps = chunk_steps
+    if lam_reg is None:
+        lam_reg = LAM_REG_DEFAULT
 
     info, params0, neg_elbo, lam_shapes = _vi_problem(
         model, model_args, model_kwargs, vip_sites, lam_tie, init_loc,
-        num_mc_samples, q_rank)
+        num_mc_samples, q_rank, lam_reg)
 
     head_opt = optax.adam(learning_rate)
     tail_opt = optax.adam(
         optax.cosine_decay_schedule(learning_rate, tail_steps,
                                     alpha=0.02))
 
+    def _lam_sq(params):
+        return sum((jnp.sum(jax.nn.sigmoid(v) ** 2)
+                    for v in params["lam_logit"].values()),
+                   jnp.zeros(()))
+
     def _step(opt):
-        def step(carry, key):
+        def step(carry, xs):
+            key, reg_w = xs
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(neg_elbo)(params, key)
+            loss, grads = jax.value_and_grad(neg_elbo)(params, key,
+                                                       reg_w)
+            # traced ELBO excludes the tilt (fit_vi convention)
+            elbo = -(loss - reg_w * _lam_sq(params))
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), -loss
+            return (params, opt_state), elbo
         return step
 
     R = max(num_restarts, 1)
 
     @jax.jit
-    def run_chunk(params, opt_state, keys):        # keys: (R, chunk)
+    def run_chunk(params, opt_state, keys, reg_ws):  # keys: (R, chunk)
         def one(p, s, ks):
-            (p, s), elbos = jax.lax.scan(_step(head_opt), (p, s), ks)
+            (p, s), elbos = jax.lax.scan(_step(head_opt), (p, s),
+                                         (ks, reg_ws))
             return p, s, elbos
         return jax.vmap(one)(params, opt_state, keys)
 
     @jax.jit
-    def run_tail(params, keys):                    # fresh tail opt state
+    def run_tail(params, keys, reg_ws):            # fresh tail opt state
         def one(p, ks):
             (p, _), elbos = jax.lax.scan(_step(tail_opt),
-                                         (p, tail_opt.init(p)), ks)
+                                         (p, tail_opt.init(p)),
+                                         (ks, reg_ws))
             return p, elbos
         return jax.vmap(one)(params, keys)
 
@@ -373,10 +442,17 @@ def fit_vi_auto(model: Callable,
     traces = []
     prev_best = -jnp.inf
     steps_done = 0
+    # tilt annealing (fit_vi convention): ramp 0 → lam_reg over the
+    # first two chunks, constant after
+    ramp = max(2 * chunk_steps, 1)
     while steps_done < max(max_steps - tail_steps, chunk_steps):
         k_chunk, key = jax.random.split(key)
         keys = jax.random.split(k_chunk, (R, chunk_steps))
-        params, opt_state, elbos = run_chunk(params, opt_state, keys)
+        reg_ws = lam_reg * jnp.clip(
+            (steps_done + jnp.arange(chunk_steps, dtype=jnp.float32))
+            / ramp, 0.0, 1.0)
+        params, opt_state, elbos = run_chunk(params, opt_state, keys,
+                                             reg_ws)
         traces.append(elbos)
         steps_done += chunk_steps
         best = float(jnp.max(_score(elbos)))
@@ -387,7 +463,8 @@ def fit_vi_auto(model: Callable,
 
     k_tail, key = jax.random.split(key)
     tkeys = jax.random.split(k_tail, (R, tail_steps))
-    params, tail_elbos = run_tail(params, tkeys)
+    params, tail_elbos = run_tail(
+        params, tkeys, jnp.full((tail_steps,), lam_reg, jnp.float32))
     traces.append(tail_elbos)
 
     best = jnp.argmax(_score(tail_elbos))

@@ -248,3 +248,45 @@ def test_real_data_drop_in(tmp_path, monkeypatch):
     np.savez(tmp_path / "german_credit.npz", bogus=np.zeros(3))
     with pytest.raises(ValueError, match="key schema mismatch"):
         data_lib.load_german_credit()
+
+
+def test_standin_pinned_facts():
+    """The committed stand-in datasets match the published real-dataset
+    facts tabulated in models/data/DATA.md (VERDICT r4 task 6): shapes
+    exactly, summary statistics within the documented tolerance.  A
+    regenerated stand-in that drifts from the published facts fails
+    here; a real-data swap-in is validated against the same table."""
+    from autoreparam_tpu.models import data as data_lib
+
+    r = data_lib.load_radon("MN")
+    assert r["log_radon"].shape == (919,)
+    assert int(r["n_counties"]) == 85
+    assert abs(float(r["log_radon"].mean()) - 1.25) < 0.15
+    assert abs(float(r["log_radon"].std()) - 0.85) < 0.15
+    assert abs(float(r["floor"].mean()) - 0.17) < 0.05
+    sizes = np.bincount(r["county_idx"], minlength=85)
+    assert sizes.min() >= 1 and sizes.max() > 30  # real imbalance
+    for st, (n_obs, n_cty) in data_lib.RADON_STATES.items():
+        d = data_lib.load_radon(st)
+        assert d["log_radon"].shape == (n_obs,)
+        assert int(d["n_counties"]) == n_cty
+
+    g = data_lib.load_german_credit()
+    assert g["x"].shape == (1000, 24)
+    np.testing.assert_allclose(g["x"].mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(g["x"].std(0), 1.0, atol=1e-4)
+    assert 0.25 < float(g["y"].mean()) < 0.45  # ~30% bad credit
+
+    e = data_lib.load_election88()
+    assert e["y"].shape == (11566,)
+    assert (int(e["n_states"]), int(e["n_age"]), int(e["n_edu"]),
+            int(e["n_region"])) == (51, 4, 4, 5)
+    assert abs(float(e["y"].mean()) - 0.56) < 0.05
+    assert abs(float(e["female"].mean()) - 0.54) < 0.03
+    assert abs(float(e["black"].mean()) - 0.10) < 0.03
+    assert abs(float(e["v_prev"].std()) - 0.07) < 0.03
+
+    el = data_lib.load_electric()
+    assert int(el["n_pairs"]) == 96
+    assert el["y"].shape == (192,)
+    assert 90 < float(el["y"].mean()) < 110
