@@ -93,21 +93,25 @@ def _gaussian_entropy(log_scale):
 
 
 #: Default λ-regularization weight (see fit_vi(lam_reg=...)): nats of
-#: per-element ELBO advantage required to hold a site centered.  The
-#: asymmetric quadratic tilt w·Σλ² resolves ELBO-flat λ toward NCP —
-#: the paper's own asymmetry: a wrongly-centered scale hyper recreates
-#: the funnel (catastrophic: election88 dVIP@0.5 collapses to 7.8
-#: ess/grad via λ(a_edu)≈0.5 → CP), while a wrongly-non-centered one
-#: mixes merely slower.  Mid-range λ on weakly-identified blocks is not
-#: a neutral compromise either: λ(a_age)≈0.73 left a residual
-#: sigma_age funnel that cost a seed 33.6 vs 420+ ess/grad (zoo_full
-#: cohort, results/zoo_full/election88__cvip__hmc__13022079.json).
-#: Calibration: the ELBO's λ-curvature on well-identified sites is
-#: >> 1 nat (funnel λ(x) holds 0.01, gammascale holds its CP basin)
-#: while ELBO-indifferent sites (fixed-prior coefficients, small
-#: exchangeable blocks) sit at |∂ELBO/∂λ| ≈ 0 — any w in (0.1, 1)
-#: separates the two; zoo A/B at the default in results/zoo_lamreg.
-LAM_REG_DEFAULT = 0.5
+#: per-element ELBO advantage required to hold a site centered, as an
+#: asymmetric quadratic tilt w·Σλ² resolving λ toward NCP.  Default
+#: 0.0 — the tilt was MEASURED AND REJECTED as a default (round 5):
+#: the hypothesis was that ELBO-flat λ (election88's small exchangeable
+#: blocks) should break toward the safe NCP side, but (a) on election88
+#: the per-element ELBO slopes are the same order as any useful w, so
+#: w=0.25 dragged *well-determined* λ down too (a_age 0.73→0.43,
+#: a_region 0.89→0.49), created new mid-λ funnels, and collapsed the
+#: 5-seed cVIP median 295→74 with one seed at R-hat 1.41
+#: (results/election_probe/lamreg.json); (b) german_credit_gammascale's
+#: genuine CP preference is only ~0.1 nat/element, so w=0.5 pushed
+#: λ(beta) 0.855→0.473 — across the 0.5 dVIP threshold into the
+#: catastrophic NCP cell (7.7 vs 991.7 ess/grad).  The λ landscape is
+#: better-calibrated than any global tilt; the knob remains for
+#: experiments (`--lam_reg`).  The election88 weak-seed scatter is NOT
+#: λ-driven anyway: seeds with near-identical λ* span 33.6–453.9
+#: ess/grad, so the variance lives in the HMC phase (see
+#: experiments/probe_election_lamreg.py).
+LAM_REG_DEFAULT = 0.0
 
 
 def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
