@@ -75,11 +75,21 @@ def main():
                     kw["target_accept"] = 0.9
                 elif extra == "mass":
                     kw["share_adaptation"] = "mass"
+                elif extra == "none":
+                    pass
+                elif extra == "sharenone":
+                    kw["share_adaptation"] = False
+                elif extra == "novimass":
+                    kw["use_vi_mass"] = False
+                elif extra == "noviinit":
+                    kw["use_vi_init"] = False
                 elif extra == "warm10k":
                     kw["num_warmup"] = 10000
                 elif extra == "warm10k_ta85":
                     kw["num_warmup"] = 10000
                     kw["target_accept"] = 0.85
+                elif extra != "none":
+                    raise ValueError(f"unknown extra {extra!r}")
                 if method == "dvip":
                     kw["dvip_keep_band"] = args.keep_band
                 for seed in [int(s) for s in args.seeds.split(",")]:
