@@ -67,6 +67,15 @@ flags.DEFINE_integer("num_vi_restarts", 1,
 flags.DEFINE_enum("vip_lam_tie", "element", ["element", "site"],
                   "lambda granularity: per-element (paper default) or "
                   "one tied lambda per site")
+flags.DEFINE_boolean("vip_pilot", None,
+                     "pilot-selected parameterisation: race {lambda*, "
+                     "ncp, cp, dvip-band} in short pilot HMC runs and "
+                     "use the winner (one compiled program; pilot "
+                     "grads are adaptation, excluded from ess/grad "
+                     "like warmup).  Default: on for cvip/dvip at "
+                     "real budgets on the hmc engine; "
+                     "--novip_pilot restores the reference's "
+                     "ELBO-only lambda*")
 flags.DEFINE_float("lam_reg", None,
                    "lambda-regularization weight: asymmetric quadratic "
                    "tilt w*sum(lambda^2) annealed into the VI objective "
@@ -144,6 +153,7 @@ def _run_one(spec, num_leapfrog):
         vi_rank=FLAGS.vi_rank,
         vip_lam_tie=FLAGS.vip_lam_tie,
         lam_reg=FLAGS.lam_reg,
+        vip_pilot=FLAGS.vip_pilot,
         dvip_refit=FLAGS.dvip_refit,
         dvip_threshold=FLAGS.dvip_threshold,
         dvip_keep_band=FLAGS.dvip_keep_band,

@@ -112,6 +112,9 @@ def run_experiment(spec: ModelSpec,
                    vi_rank: int = 0,
                    vip_lam_tie: str = "element",
                    lam_reg: Optional[float] = None,
+                   vip_pilot: Optional[bool] = None,
+                   pilot_warmup: int = 800,
+                   pilot_samples: int = 400,
                    dvip_refit: bool = True,
                    dvip_threshold: float = 0.5,
                    dvip_keep_band: float = 0.0,
@@ -175,6 +178,7 @@ def run_experiment(spec: ModelSpec,
 
     vi_res = None
     lam = None
+    pilot_choice = None
     grad_multiplier = 1.0
 
     # ---- build the sampled model per method --------------------------
@@ -191,7 +195,85 @@ def run_experiment(spec: ModelSpec,
         if method == "dvip":
             lam = discretize_lambda(lam, threshold=dvip_threshold,
                                     keep_band=dvip_keep_band)
+        # Pilot-selected parameterisation (the reference's sweep-and-
+        # select driver philosophy — its main.py swept leapfrog steps
+        # and kept the best, SURVEY.md §3.1 — applied to λ itself):
+        # the mean-field ELBO is a *biased* criterion for sampler
+        # geometry.  Measured on election88 (results/election_probe/):
+        # per-element corr(λ, ESS) = -0.96 on the state block — the
+        # ELBO centers data-rich states, but centered states correlate
+        # with their regression parents and mix 2x slower under
+        # diagonal mass, while λ-tilt penalties that fix one block
+        # break another (lamreg.json).  No static criterion resolves
+        # this; a short pilot run per candidate does.  Candidates race
+        # at the same engine/budget-shape (λ is a traced argument, so
+        # all pilots share ONE compiled program); the full run uses
+        # the winner by min-dim ESS.  Pilot gradients are adaptation,
+        # excluded from ess/grad like warmup (the reference's metric
+        # convention).  vip_pilot=None resolves to True for real
+        # budgets on the plain-HMC engine.
+        if vip_pilot is None:
+            vip_pilot = (inference == "hmc"
+                         and num_warmup >= 2 * pilot_warmup)
+        pilot_choice = None
+        if vip_pilot and lam and inference == "hmc":
+            if method == "dvip":
+                candidates = {
+                    "vi": lam,
+                    "ncp": {s: jnp.zeros_like(v) for s, v in lam.items()},
+                    "cp": {s: jnp.ones_like(v) for s, v in lam.items()},
+                }
+            else:
+                candidates = {
+                    "vi": lam,
+                    "ncp": {s: jnp.zeros_like(v) for s, v in lam.items()},
+                    "cp": {s: jnp.ones_like(v) for s, v in lam.items()},
+                    "dvip_band": discretize_lambda(lam, keep_band=0.3),
+                }
+            pcfg = H.HMCConfig(
+                num_warmup=min(pilot_warmup, num_warmup),
+                num_samples=min(pilot_samples, num_samples),
+                num_leapfrog_steps=num_leapfrog_steps,
+                target_accept=target_accept,
+                share_adaptation=(
+                    "mass" if spec.name in MASS_ONLY_POOLING else True
+                    ) if share_adaptation is None else share_adaptation)
+            pinfo = get_model_info(make_vip_model(model, lam), args,
+                                   kwargs)
+            p_init = (vi_res.sample(k_init, num_chains) if use_vi_init
+                      else _init_chains(k_init, num_chains, pinfo.dim))
+
+            @jax.jit
+            def _pilot(lam_a, init_a, key_a):
+                pot_a = make_potential_fn(make_vip_model(model, lam_a),
+                                          pinfo, args, kwargs)
+                z, _ = H.run_hmc(pot_a, init_a, key_a, pcfg)
+                ess = dg.effective_sample_size(z, max_lags=64)
+                return jnp.min(ess)
+
+            k_pilot = jax.random.fold_in(k_run, 99)
+            scores = {}
+            for name, cand in candidates.items():
+                scores[name] = float(_pilot(cand, p_init, k_pilot))
+            # ELBO's λ* wins ties (5% band): the pilot is a noisy
+            # estimator and λ* is the principled default
+            best_name = max(scores, key=scores.get)
+            if scores[best_name] <= 1.05 * scores["vi"]:
+                best_name = "vi"
+            pilot_choice = {"choice": best_name,
+                            "scores": {k: round(v, 1)
+                                       for k, v in scores.items()}}
+            lam = candidates[best_name]
         sampled_model = make_vip_model(model, lam)
+        if (method == "cvip" and pilot_choice is not None
+                and pilot_choice["choice"] != "vi"):
+            # the pilot moved λ away from the fit's λ*: q* describes the
+            # continuous-λ* aux coordinates, so re-fit q on the chosen
+            # model before it seeds init/mass (same rationale as
+            # dvip_refit below)
+            refit = _fit(sampled_model,
+                         key=jax.random.fold_in(k_vi, 2))
+            vi_res = refit._replace(lam=lam)
         if method == "dvip" and dvip_refit:
             # Thresholding λ changes the model the HMC phase samples;
             # the cVIP q* describes the *continuous*-λ model's aux
@@ -464,6 +546,7 @@ def run_experiment(spec: ModelSpec,
         "num_vi_restarts": num_vi_restarts,
         "vip_lam_tie": vip_lam_tie,
         "lam_reg": lam_reg,
+        "vip_pilot": pilot_choice,
         "dvip_refit": bool(dvip_refit),
         "dvip_threshold": (dvip_threshold if method == "dvip" else None),
         "dvip_keep_band": (dvip_keep_band if method == "dvip" else None),

@@ -88,6 +88,8 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     # --- VI phase: learn lambda (cVIP) --------------------------------
     t0 = time.perf_counter()
     sites = tuple(eligible_sites(base_model, spec.args))
+    t_sites = time.perf_counter() - t0
+    log(f"VI breakdown: eligible_sites {t_sites:.2f}s")
     if os.environ.get("BENCH_VI_AUTO", "0") == "1":
         # plateau-gated budget (vi.fit_vi_auto): ELBO-chunked early
         # stop + cosine tail instead of the hand-picked step count —
@@ -105,6 +107,21 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     jax.block_until_ready(vi.loc)
     vi_wall = time.perf_counter() - t0
     log(f"VI done in {vi_wall:.1f}s")
+    if os.environ.get("BENCH_VI_TIMING", "0") == "1":
+        # breakdown probe: a second identical fit re-pays Python
+        # trace+lowering (fit_vi builds fresh closures, so the jit
+        # cache misses) but hits the in-process/persistent executable
+        # caches — its wall isolates host-side trace cost from device
+        # execute; the delta vs the first call is disk-cache load.
+        t1 = time.perf_counter()
+        vi2 = fit_vi(base_model, spec.args, vip_sites=sites,
+                     num_steps=vi_steps, num_mc_samples=8,
+                     learning_rate=0.05, key=k_vi)
+        jax.block_until_ready(vi2.loc)
+        log(f"VI breakdown: second identical fit "
+            f"{time.perf_counter() - t1:.2f}s (trace+lower+execute; "
+            f"first-call extra = disk-cache load + eager-op compiles)")
+        del vi2
 
     # λ and the q*-derived mass enter as traced ARGUMENTS (not closure
     # constants): the HLO is then identical across bench invocations, so

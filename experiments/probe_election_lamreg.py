@@ -83,6 +83,20 @@ def main():
                     kw["use_vi_mass"] = False
                 elif extra == "noviinit":
                     kw["use_vi_init"] = False
+                elif extra == "nomassinit":
+                    kw["use_vi_mass"] = False
+                    kw["use_vi_init"] = False
+                elif extra == "novimass_ta85":
+                    kw["use_vi_mass"] = False
+                    kw["target_accept"] = 0.85
+                elif extra == "novimass_ta65":
+                    kw["use_vi_mass"] = False
+                    kw["target_accept"] = 0.65
+                elif extra == "pilot_novimass":
+                    # vip_pilot resolves on (auto-on at this budget);
+                    # separate tag so `done` doesn't collide with the
+                    # pre-pilot novimass rows
+                    kw["use_vi_mass"] = False
                 elif extra == "warm10k":
                     kw["num_warmup"] = 10000
                 elif extra == "warm10k_ta85":
@@ -116,6 +130,7 @@ def main():
                         "vi_elbo": round(s.get("vi_elbo", float("nan")),
                                          2),
                         "mass_used": s.get("vi_mass_used"),
+                        "pilot": s.get("vip_pilot"),
                         "lambda": lam,
                         "wall_s": round(time.time() - t0, 1),
                     }
