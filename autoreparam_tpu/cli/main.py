@@ -72,10 +72,11 @@ flags.DEFINE_boolean("vip_pilot", None,
                      "ncp, cp, dvip-band} in short pilot HMC runs and "
                      "use the winner (one compiled program; pilot "
                      "grads are adaptation, excluded from ess/grad "
-                     "like warmup).  Default: on for cvip/dvip at "
-                     "real budgets on the hmc engine; "
-                     "--novip_pilot restores the reference's "
-                     "ELBO-only lambda*")
+                     "like warmup).  Default: off — on warmup-luck-"
+                     "dominated models a short pilot cannot predict "
+                     "full-length behavior (measured on election88, "
+                     "results/election_probe/lamreg.json); use where "
+                     "candidate geometries differ structurally")
 flags.DEFINE_float("lam_reg", None,
                    "lambda-regularization weight: asymmetric quadratic "
                    "tilt w*sum(lambda^2) annealed into the VI objective "
@@ -89,9 +90,13 @@ flags.DEFINE_bool("dvip_refit", True,
 flags.DEFINE_float("dvip_threshold", 0.5,
                    "dVIP lambda cut (reference: 0.5); > 0.5 rounds "
                    "ambiguous sites toward the robust NCP side")
-flags.DEFINE_float("dvip_keep_band", 0.0,
+flags.DEFINE_float("dvip_keep_band", 0.3,
                    "keep lambda elements within this band of 0.5 at "
-                   "their continuous value (cVIP/dVIP hybrid; 0 = off)")
+                   "their continuous value (cVIP/dVIP hybrid).  "
+                   "Default 0.3: snapping ELBO-ambiguous lambda to CP "
+                   "recreates the funnel on its scale hyper (measured "
+                   "32x collapse on election88); 0 restores the "
+                   "reference's pure 0.5-threshold rule")
 flags.DEFINE_bool("tail_transport", False,
                   "Gaussian tail transport on heavy-tailed scale sites "
                   "(sigma ~ HalfCauchy becomes a standard-normal latent "

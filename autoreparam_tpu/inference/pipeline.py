@@ -117,7 +117,7 @@ def run_experiment(spec: ModelSpec,
                    pilot_samples: int = 400,
                    dvip_refit: bool = True,
                    dvip_threshold: float = 0.5,
-                   dvip_keep_band: float = 0.0,
+                   dvip_keep_band: float = 0.3,
                    tail_transport: bool = False,
                    chees_criterion: str = "chees_rate",
                    ghmc_thin: int = 1
@@ -205,16 +205,26 @@ def run_experiment(spec: ModelSpec,
         # with their regression parents and mix 2x slower under
         # diagonal mass, while λ-tilt penalties that fix one block
         # break another (lamreg.json).  No static criterion resolves
-        # this; a short pilot run per candidate does.  Candidates race
+        # this; a short pilot run per candidate can, when pilot-length
+        # behavior predicts full-length behavior.  Candidates race
         # at the same engine/budget-shape (λ is a traced argument, so
         # all pilots share ONE compiled program); the full run uses
         # the winner by min-dim ESS.  Pilot gradients are adaptation,
         # excluded from ess/grad like warmup (the reference's metric
-        # convention).  vip_pilot=None resolves to True for real
-        # budgets on the plain-HMC engine.
+        # convention).
         if vip_pilot is None:
-            vip_pilot = (inference == "hmc"
-                         and num_warmup >= 2 * pilot_warmup)
+            # Default OFF (measured, round 5): on election88 — the
+            # model the pilot was built for — an 800-step pilot cannot
+            # predict 5000-step warmup luck (the dominant variance
+            # there), so switching λ mid-pipeline re-rolls the dice:
+            # pilot-selected 5-seed ess/grad {8.2, 571, 293, 40, 7.3}
+            # vs λ*-as-is {390, 339, 293, 274, 281}
+            # (results/election_probe/lamreg.json, pilot_novimass vs
+            # novimass).  The knob remains for cases where candidate
+            # geometries differ by more than warmup noise (e.g. a
+            # half-trained λ* on the funnel: the pilot correctly
+            # picks ncp there).
+            vip_pilot = False
         pilot_choice = None
         if vip_pilot and lam and inference == "hmc":
             if method == "dvip":

@@ -83,10 +83,18 @@ FULL_OVERRIDES = {
     # ~2-nat better ELBO but 10x worse IS-ESS (mode-seeking fit
     # under-disperses untracked directions), so the q*^2 mass seed is
     # gated off on every seed and only the init changes.
+    # use_vi_mass=False: the q*^2 mass seed is this model's cVIP
+    # fragility source — with it, warmup luck decides whether one
+    # funnel hyper (log sigma_age / a_edu block) dies per seed
+    # (5-seed spread 34..454 ess/grad); with the identity seed (the
+    # windowed ensemble mass still adapts) the same seeds measure a
+    # disaster-free 274..390 (results/election_probe/lamreg.json,
+    # extra=novimass vs none).  NCP/CP columns have no q* and are
+    # unaffected.
     "election88": dict(num_warmup=5000, num_samples=2500,
                        num_leapfrog_steps=32,
                        num_optimization_steps=6000, learning_rate=0.02,
-                       num_vi_restarts=8),
+                       num_vi_restarts=8, use_vi_mass=False),
 }
 
 

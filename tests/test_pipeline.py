@@ -34,7 +34,21 @@ def test_methods_on_funnel_hmc(method):
         assert "lambda" in s
         lam_x = np.asarray(s["lambda"]["x"])
         if method == "dvip":
-            assert set(np.unique(lam_x)) <= {0.0, 1.0}
+            # default dvip_keep_band=0.3: every element is either
+            # snapped to {0,1} or kept continuous inside the band
+            snapped = np.isin(lam_x, [0.0, 1.0])
+            in_band = np.abs(lam_x - 0.5) < 0.3
+            assert np.all(snapped | in_band)
+
+
+def test_dvip_pure_threshold_knob():
+    """dvip_keep_band=0.0 restores the reference's pure 0.5-threshold
+    rule (SURVEY.md §3.1 [M]): every lambda element lands in {0, 1}."""
+    spec = get_model("neals_funnel")
+    res = run_experiment(spec, method="dvip", inference="hmc",
+                         dvip_keep_band=0.0, **SMALL)
+    for v in res.summary["lambda"].values():
+        assert set(np.unique(np.asarray(v))) <= {0.0, 1.0}
 
 
 def test_funnel_cp_vs_ncp_ordering():
