@@ -69,6 +69,10 @@ def main():
             inference = "hmc"
             if variant == "warm30k":
                 kw["num_warmup"] = 30000
+            elif variant == "s10k":
+                kw["num_samples"] = 10000
+            elif variant == "s15k":
+                kw["num_samples"] = 15000
             elif variant == "ta85":
                 kw["target_accept"] = 0.85
             elif variant == "ghmcthin":
