@@ -111,6 +111,12 @@ flags.DEFINE_enum("chees_criterion", "chees_rate",
                   "trajectory-length criterion for --inference=chees: "
                   "raw or cost-normalized ChEES / SNAPER (principal-"
                   "component ESJD)")
+flags.DEFINE_enum("mass_structure", "diag", ["diag", "dense"],
+                  "HMC metric: Stan-style diagonal (default) or a "
+                  "dense (D, D) inverse mass estimated from the pooled "
+                  "cross-chain ensemble during warmup — removes the "
+                  "mixing cost of inter-block posterior correlations "
+                  "a diagonal metric cannot see (plain-HMC engine)")
 flags.DEFINE_integer("ghmc_thin", 1,
                      "keep every N-th GHMC sweep (1 gradient each; "
                      "ess/grad accounting stays exact) — bounds kept-"
@@ -165,6 +171,7 @@ def _run_one(spec, num_leapfrog):
         tail_transport=FLAGS.tail_transport,
         chees_criterion=FLAGS.chees_criterion,
         ghmc_thin=FLAGS.ghmc_thin,
+        mass_structure=FLAGS.mass_structure,
         share_adaptation={"auto": None, "all": True, "mass": "mass",
                           "none": False}[FLAGS.share_adaptation])
 

@@ -88,6 +88,66 @@ def welford_variance(state: WelfordState):
     return w * var + 1e-3 * (1.0 - w)
 
 
+class DenseWelfordState(NamedTuple):
+    """Pooled cross-chain dense covariance accumulator (one per batch,
+    not per chain): Welford over the per-step ensemble means (captures
+    between-step drift) plus the summed within-step ensemble scatter —
+    the same law-of-total-variance decomposition the diagonal
+    ``share_adaptation`` path uses, promoted to full (D, D) moments."""
+
+    mean: jnp.ndarray    # (D,)
+    m2: jnp.ndarray      # (D, D)
+    count: jnp.ndarray   # ()
+
+
+def dense_welford_init(dim, dtype=jnp.float32):
+    return DenseWelfordState(jnp.zeros((dim,), dtype),
+                             jnp.zeros((dim, dim), dtype),
+                             jnp.zeros((), dtype))
+
+
+def dense_welford_update(state: DenseWelfordState, z):
+    """Accumulate one (C, D) ensemble snapshot."""
+    zbar = jnp.mean(z, axis=0)
+    count = state.count + 1.0
+    delta = zbar - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + jnp.outer(delta, zbar - mean)
+    # within-step ensemble scatter (averaged over chains), the parallel
+    # term of the law-of-total-variance split
+    zc = z - zbar[None, :]
+    m2 = m2 + (zc.T @ zc) / z.shape[0]
+    return DenseWelfordState(mean, m2, count)
+
+
+def dense_welford_cov(state: DenseWelfordState, dtype=None):
+    """Regularised covariance (Stan's shrinkage-to-identity, dense)."""
+    n = state.count
+    cov = state.m2 / jnp.maximum(n - 1.0, 1.0)
+    w = n / (n + 5.0)
+    eye = jnp.eye(state.mean.shape[0], dtype=state.mean.dtype)
+    return w * cov + 1e-3 * (1.0 - w) * eye
+
+
+def dense_mass_ops(sigma):
+    """(Σ, R) pair for the dense kernel from a covariance estimate.
+
+    Σ is the inverse mass (posterior covariance); momenta are drawn as
+    r = R u with u ~ N(0, I), where R Rᵀ = Σ⁻¹ (R = L⁻ᵀ for Σ = LLᵀ).
+    Falls back to the diagonal of Σ if the Cholesky fails (non-finite),
+    so one bad window can never poison the run.
+    """
+    D = sigma.shape[-1]
+    eye = jnp.eye(D, dtype=sigma.dtype)
+    L = jnp.linalg.cholesky(sigma + 1e-6 * eye)
+    r_fac = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
+    ok = jnp.all(jnp.isfinite(r_fac))
+    diag = jnp.clip(jnp.diagonal(sigma), 1e-6, None)
+    sigma_d = eye * diag[None, :]
+    r_diag = eye * jax.lax.rsqrt(diag)[None, :]
+    return (jnp.where(ok, sigma, sigma_d), jnp.where(ok, r_fac, r_diag))
+
+
 def adapt_step(da, wf, inv_mass, z, accept_prob, slow, end, *,
                target_accept, adapt_mass=True, share=False,
                pooled_stat="geom"):
@@ -257,6 +317,71 @@ def leapfrog(potential_and_grad: Callable, z, r, grad, step_size,
     return z, r, pots[-1], grad
 
 
+def leapfrog_dense(potential_and_grad: Callable, z, r, grad, step_size,
+                   sigma, num_steps: int):
+    """Leapfrog with a dense inverse mass Σ: drift is ε·Σ·r."""
+
+    def body(carry, _):
+        z, r, grad = carry
+        r_half = r - 0.5 * step_size * grad
+        z_new = z + step_size * (sigma @ r_half)
+        pot_new, grad_new = potential_and_grad(z_new)
+        r_new = r_half - 0.5 * step_size * grad_new
+        return (z_new, r_new, grad_new), pot_new
+
+    (z, r, grad), pots = jax.lax.scan(body, (z, r, grad), None,
+                                      length=num_steps)
+    return z, r, pots[-1], grad
+
+
+def hmc_kernel_dense(potential_fn: Callable, num_leapfrog_steps: int,
+                     divergence_threshold: float = 1000.0):
+    """Dense-mass HMC transition for a single chain.
+
+    `mass_ops` is the `(Σ, R)` pair from `dense_mass_ops`, SHARED across
+    the chain batch (vmap with in_axes=(0, 0, 0, None)): Σ is the
+    inverse mass (a posterior-covariance estimate, Stan's dense
+    metric), momenta are r = R·u with u ~ N(0, I) so Cov(r) = Σ⁻¹, and
+    kinetic energy is ½·rᵀΣr.  This is what removes the inter-block
+    correlation cost the diagonal metric cannot see (the election88
+    cVIP diagnosis: centered states correlate with their regression
+    parents and mix ~2x slower under diagonal mass —
+    results/election_probe/lamreg.json).
+    """
+
+    def potential_and_grad(z):
+        return jax.value_and_grad(potential_fn)(z)
+
+    def one_step(state: HMCState, key, step_size, mass_ops):
+        sigma, r_fac = mass_ops
+        key_mom, key_acc = jax.random.split(key)
+        u = jax.random.normal(key_mom, state.z.shape, state.z.dtype)
+        r = r_fac @ u
+        energy0 = state.pot + 0.5 * jnp.dot(r, sigma @ r)
+        z_new, r_new, pot_new, grad_new = leapfrog_dense(
+            potential_and_grad, state.z, r, state.grad, step_size,
+            sigma, num_leapfrog_steps)
+        energy1 = pot_new + 0.5 * jnp.dot(r_new, sigma @ r_new)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+        is_divergent = -delta > divergence_threshold
+        accept = jax.random.uniform(key_acc, (), state.z.dtype) < accept_prob
+        new_state = HMCState(
+            z=jnp.where(accept, z_new, state.z),
+            pot=jnp.where(accept, pot_new, state.pot),
+            grad=jnp.where(accept, grad_new, state.grad),
+        )
+        info = HMCInfo(accept_prob=accept_prob,
+                       is_accepted=accept,
+                       is_divergent=is_divergent,
+                       energy=jnp.where(accept, energy1, energy0),
+                       step_size=step_size)
+        return new_state, info
+
+    return one_step
+
+
 def hmc_kernel(potential_fn: Callable, num_leapfrog_steps: int,
                divergence_threshold: float = 1000.0):
     """Build `one_step(state, key, step_size, inv_mass) -> (state, info)`
@@ -408,6 +533,16 @@ class HMCConfig(NamedTuple):
     #: cross-chain acceptance pool for the shared step ("geom"
     #: (floored), "arith", "harm") — see adapt_step
     pooled_accept_stat: str = "geom"
+    #: "diag" (Stan-style diagonal metric, the default) or "dense" — a
+    #: full (D, D) inverse-mass Σ estimated from the pooled cross-chain
+    #: ensemble during the slow windows (law-of-total-variance split,
+    #: like the diagonal ensemble path, but with full second moments).
+    #: Dense removes the mixing cost of inter-block posterior
+    #: correlations that no diagonal metric can see; with C chains
+    #: contributing every step, even the base 25-step window gives
+    #: thousands of ensemble draws for an O(100)-dim covariance.  The
+    #: dense metric is inherently pooled (one Σ for the whole batch).
+    mass_structure: str = "diag"
 
 
 def run_hmc(potential_fn: Callable,
@@ -429,6 +564,10 @@ def run_hmc(potential_fn: Callable,
     """
     C, D = init_positions.shape
     dtype = init_positions.dtype
+    if config.mass_structure == "dense" and kernel_impl is None:
+        return _run_hmc_dense(potential_fn, init_positions, key, config,
+                              inv_mass_diag=inv_mass_diag,
+                              collect_fn=collect_fn)
     if kernel_impl is not None:
         # drop-in batched transition (e.g. ops.fused_hmc_kernel — the
         # Pallas VMEM-resident integrator); contract matches
@@ -539,6 +678,152 @@ def run_hmc(potential_fn: Callable,
         "energy": energies,                      # (S, C)
         "final_state": state_final,
         "rescued_chains": stuck,                 # (C,) bool
+        "num_grad_evals_per_sample": config.num_leapfrog_steps
+        * config.thin,
+    }
+    return samples, stats
+
+
+def _run_hmc_dense(potential_fn: Callable,
+                   init_positions: jnp.ndarray,   # (C, D)
+                   key,
+                   config: HMCConfig,
+                   inv_mass_diag: Optional[jnp.ndarray] = None,
+                   collect_fn: Optional[Callable] = None):
+    """run_hmc with a dense (D, D) inverse-mass metric (Stan's dense
+    metric, estimated from the pooled cross-chain ensemble).
+
+    Same contract as run_hmc; selected via
+    ``HMCConfig(mass_structure="dense")``.  The metric state is ONE
+    (Σ, R) pair shared by every chain (the ensemble estimator is
+    inherently pooled); step-size adaptation follows
+    ``share_adaptation`` exactly as in the diagonal path.  A diagonal
+    ``inv_mass_diag`` seed (e.g. q*² variances) initialises Σ's
+    diagonal.
+    """
+    C, D = init_positions.shape
+    dtype = init_positions.dtype
+    kernel = hmc_kernel_dense(potential_fn, config.num_leapfrog_steps,
+                              config.divergence_threshold)
+    v_kernel = jax.vmap(kernel, in_axes=(0, 0, 0, None))
+    pg = jax.vmap(jax.value_and_grad(potential_fn))
+
+    if inv_mass_diag is None:
+        diag0 = jnp.ones((D,), dtype)
+    else:
+        d = jnp.asarray(inv_mass_diag, dtype)
+        diag0 = jnp.mean(d, axis=0) if d.ndim > 1 else d
+    eye = jnp.eye(D, dtype=dtype)
+    sigma0 = eye * diag0[None, :]
+    rfac0 = eye * jax.lax.rsqrt(jnp.clip(diag0, 1e-12, None))[None, :]
+
+    pot0, grad0 = pg(init_positions)
+    state0 = HMCState(init_positions, pot0, grad0)
+    da0 = da_init(jnp.full((C,), config.init_step_size, dtype))
+    dwf0 = dense_welford_init(D, dtype)
+
+    is_slow, is_end = warmup_schedule(config.num_warmup)
+    is_slow = jnp.asarray(is_slow)
+    is_end = jnp.asarray(is_end)
+
+    share_step = (config.share_adaptation is True
+                  or config.share_adaptation == "all")
+    jitter = config.step_jitter if share_step else 0.0
+
+    def _jittered(step_size, key):
+        if jitter <= 0:
+            return step_size
+        u = jax.random.uniform(key, (C,), minval=1.0 - jitter,
+                               maxval=1.0 + jitter)
+        return step_size * u
+
+    def warmup_step(carry, xs):
+        state, da, dwf, sigma, r_fac = carry
+        key, slow, end = xs
+        key, kj = jax.random.split(key)
+        keys = jax.random.split(key, C)
+        step_size = jnp.exp(da.log_eps)
+        if config.step_jitter_warmup:
+            step_size = _jittered(step_size, kj)
+        state, info = v_kernel(state, keys, step_size, (sigma, r_fac))
+        # step size: identical pooled/per-chain DA as the diagonal path
+        da, _, _ = adapt_step(
+            da, None, None, state.z, info.accept_prob, slow, end,
+            target_accept=config.target_accept, adapt_mass=False,
+            share=config.share_adaptation,
+            pooled_stat=config.pooled_accept_stat)
+        if config.adapt_mass:
+            dwf_new = dense_welford_update(dwf, state.z)
+            dwf = jax.tree.map(lambda a, b: jnp.where(slow, b, a),
+                               dwf, dwf_new)
+            sigma_new, rfac_new = dense_mass_ops(dense_welford_cov(dwf))
+            sigma = jnp.where(end, sigma_new, sigma)
+            r_fac = jnp.where(end, rfac_new, r_fac)
+            dwf = jax.tree.map(lambda a: jnp.where(end,
+                                                   jnp.zeros_like(a), a),
+                               dwf)
+            da_reset = da_init(jnp.exp(da.log_eps))
+            da = jax.tree.map(lambda a, b: jnp.where(end, b, a), da,
+                              da_reset)
+        return (state, da, dwf, sigma, r_fac), info.accept_prob
+
+    n_w = config.num_warmup
+    key, k_warm, k_samp = jax.random.split(key, 3)
+    if n_w > 0:
+        warm_keys = jax.random.split(k_warm, n_w)
+        (state0, da0, _, sigma0, rfac0), warm_accept = jax.lax.scan(
+            warmup_step, (state0, da0, dwf0, sigma0, rfac0),
+            (warm_keys, is_slow, is_end))
+        step_size_final = jnp.exp(da0.log_eps_bar)
+    else:
+        warm_accept = jnp.zeros((0, C), dtype)
+        step_size_final = jnp.full((C,), config.init_step_size, dtype)
+
+    stuck = jnp.zeros((C,), bool)
+    if share_step and n_w > 0:
+        state0, stuck = rescue_stuck_chains(
+            state0, warm_accept, jax.random.fold_in(key, 7))
+
+    if collect_fn is None:
+        collect_fn = lambda z: z  # noqa: E731
+
+    def sample_step(carry, key):
+        state = carry
+        def inner(state, key):
+            key, kj = jax.random.split(key)
+            keys = jax.random.split(key, C)
+            state, info = v_kernel(state, keys,
+                                   _jittered(step_size_final, kj),
+                                   (sigma0, rfac0))
+            return state, info
+        if config.thin == 1:
+            state, info = inner(state, key)
+        else:
+            tkeys = jax.random.split(key, config.thin)
+            state, infos = jax.lax.scan(lambda s, k: inner(s, k),
+                                        state, tkeys)
+            info = jax.tree.map(lambda x: x[-1], infos)
+        out = (jax.vmap(collect_fn)(state.z), info.accept_prob,
+               info.is_divergent, info.energy)
+        return state, out
+
+    samp_keys = jax.random.split(k_samp, config.num_samples)
+    state_final, (samples, accept_probs, divergences, energies) = \
+        jax.lax.scan(sample_step, state0, samp_keys)
+
+    stats = {
+        "step_size": step_size_final,                      # (C,)
+        # diagonal view for downstream consumers (checkpoint/readout);
+        # the full metric is inv_mass_dense
+        "inv_mass_diag": jnp.broadcast_to(jnp.diagonal(sigma0),
+                                          (C, D)),
+        "inv_mass_dense": sigma0,                          # (D, D)
+        "warmup_accept_prob": warm_accept,                 # (W, C)
+        "accept_prob": accept_probs,                       # (S, C)
+        "divergences": divergences,                        # (S, C)
+        "energy": energies,                                # (S, C)
+        "final_state": state_final,
+        "rescued_chains": stuck,                           # (C,) bool
         "num_grad_evals_per_sample": config.num_leapfrog_steps
         * config.thin,
     }

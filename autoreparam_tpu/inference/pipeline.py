@@ -120,7 +120,8 @@ def run_experiment(spec: ModelSpec,
                    dvip_keep_band: float = 0.3,
                    tail_transport: bool = False,
                    chees_criterion: str = "chees_rate",
-                   ghmc_thin: int = 1
+                   ghmc_thin: int = 1,
+                   mass_structure: str = "diag"
                    ) -> ExperimentResult:
     """Run one (model × method × inference) experiment end to end.
 
@@ -329,10 +330,19 @@ def run_experiment(spec: ModelSpec,
     if share_adaptation is None:
         share_adaptation = ("mass" if spec.name in MASS_ONLY_POOLING
                             else True)
+    # The dense metric is implemented for the plain-HMC engine (it is
+    # where the zoo's method comparison runs); other engines and the
+    # sharded runner keep the diagonal metric, recorded honestly below.
+    eff_mass_structure = (
+        mass_structure if (mass_structure == "dense"
+                           and inference == "hmc"
+                           and method != "interleaved"
+                           and not shard) else "diag")
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog_steps,
                       target_accept=target_accept,
-                      share_adaptation=share_adaptation)
+                      share_adaptation=share_adaptation,
+                      mass_structure=eff_mass_structure)
 
     inv_mass = None
     vi_is_ess = None
@@ -551,6 +561,7 @@ def run_experiment(spec: ModelSpec,
         "num_leapfrog_steps": num_leapfrog_steps,
         "seed": seed,
         "share_adaptation": str(share_adaptation),
+        "mass_structure": eff_mass_structure,
         "use_vi_init": bool(use_vi_init),
         "use_vi_mass": bool(use_vi_mass),
         "num_vi_restarts": num_vi_restarts,
