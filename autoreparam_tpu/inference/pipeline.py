@@ -87,6 +87,29 @@ def _init_chains(key, num_chains, dim, scale=0.5, loc=None, q_scale=None):
     return scale * eps
 
 
+def _scale_guard_mask(info):
+    """Dense-block mask for the dense metric: 1 for unconstrained
+    (Identity-support) coordinates, 0 for support-transformed ones
+    (Exp-mapped scales, stick-breaking simplices, ...).
+
+    Support-transformed sites are exactly the funnel-prone coordinates
+    whose correlation with their children is state-dependent; a global
+    linear metric entry for them is wrong in the tails and measurably
+    destabilises the run (see hmc.dense_mass_ops).  They keep the
+    adaptive diagonal; everything else (regression blocks, random
+    effects) gets the full covariance treatment.
+    """
+    from ..dists import bijectors as bij
+    parts = [np.full((s.size,),
+                     1.0 if isinstance(s.bijector, bij.Identity) else 0.0,
+                     np.float32)
+             for s in info.latents]
+    mask = np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+    # a mask with no dense coordinates degrades to the plain diagonal
+    # metric; keep it — the caller records mass_structure honestly
+    return jnp.asarray(mask)
+
+
 def run_experiment(spec: ModelSpec,
                    method: str = "cp",
                    inference: str = "hmc",
@@ -407,6 +430,7 @@ def run_experiment(spec: ModelSpec,
     # jit; NUTS keeps its internal donate_argnums chunking (an outer
     # jit would drop donation and regrow its peak memory).
     vip_lam = lam if method in ("cvip", "dvip") else None
+    dense_mask = None
 
     def _lam_pot_collect(lam_a):
         """(potential, collect) with λ traced (or the static model)."""
@@ -499,10 +523,13 @@ def run_experiment(spec: ModelSpec,
                                              inv_mass_diag=inv_mass,
                                              collect_fn=collect)
         else:
+            if eff_mass_structure == "dense":
+                dense_mask = _scale_guard_mask(info)
             def _hmc_local(lam_a, init_a, key_a, im_a):
                 p, c = _lam_pot_collect(lam_a)
                 return H.run_hmc(p, init_a, key_a, cfg,
-                                 inv_mass_diag=im_a, collect_fn=c)
+                                 inv_mass_diag=im_a, collect_fn=c,
+                                 dense_mask=dense_mask)
             samples, stats = jax.jit(_hmc_local)(vip_lam, init,
                                                  k_run, inv_mass)
     jax.block_until_ready(samples)
@@ -562,6 +589,8 @@ def run_experiment(spec: ModelSpec,
         "seed": seed,
         "share_adaptation": str(share_adaptation),
         "mass_structure": eff_mass_structure,
+        "dense_mask_frac": (float(np.asarray(dense_mask).mean())
+                            if dense_mask is not None else None),
         "use_vi_init": bool(use_vi_init),
         "use_vi_mass": bool(use_vi_mass),
         "num_vi_restarts": num_vi_restarts,

@@ -91,10 +91,35 @@ FULL_OVERRIDES = {
     # disaster-free 274..390 (results/election_probe/lamreg.json,
     # extra=novimass vs none).  NCP/CP columns have no q* and are
     # unaffected.
+    # mass_structure="dense" + L=8 (round 5): the diagnosed structural
+    # bottleneck — centered data-rich states correlate with their
+    # regression parents and the WHOLE bottom ESS cluster (a, a_age,
+    # a_edu, a_age_edu blocks) pays it under any diagonal metric — is
+    # removed by the block-dense pooled ensemble metric (scale hypers
+    # stay diagonal, hmc.dense_mass_ops scale guard).  In whitened
+    # coordinates short trajectories are optimal: L=8 measured 4x
+    # L=32's ess/grad (1140 vs 369, seed 0) and L=32 full-dense
+    # resonates (22).  9-seed cVIP median 710 ess/grad vs 390 for the
+    # best diagonal configuration (results/election_probe/dense/).
+    # interleaved has no dense path (records its honest diag fallback)
+    # and simply runs the same L.
     "election88": dict(num_warmup=5000, num_samples=2500,
-                       num_leapfrog_steps=32,
+                       num_leapfrog_steps=8,
                        num_optimization_steps=6000, learning_rate=0.02,
-                       num_vi_restarts=8, use_vi_mass=False),
+                       num_vi_restarts=8, use_vi_mass=False,
+                       mass_structure="dense"),
+}
+
+# Per-(model, method) overrides, applied after FULL_OVERRIDES — the
+# reference's own methodology (its main.py swept leapfrog steps per
+# method and reported each at its best; SURVEY.md §3.1).  iHMC has no
+# dense path (dual CP/NCP kernels alternate coordinate systems, so a
+# single pooled covariance describes neither); its best-known election88
+# config is the L=32 diagonal one (median 116.9, 9/9 converged) — at
+# the dense row's L=8-diag it loses 3 seeds to R-hat > 1.1.
+METHOD_OVERRIDES = {
+    ("election88", "interleaved"): dict(num_leapfrog_steps=32,
+                                        mass_structure="diag"),
 }
 
 
@@ -142,13 +167,16 @@ def main():
         if not q:
             msize.update(FULL_OVERRIDES.get(model_name, {}))
         for method in args.methods.split(","):
+            mm = dict(msize)
+            if not q:
+                mm.update(METHOD_OVERRIDES.get((model_name, method), {}))
             for seed in seeds:
                 tag = f"{spec.name} × {method} s{seed}"
                 t0 = time.time()
                 try:
                     res = run_experiment(spec, method=method,
                                          inference="hmc", seed=seed,
-                                         **msize)
+                                         **mm)
                     res.summary["total_time_s"] = time.time() - t0
                     save_result(args.results_dir, res.summary)
                     print(f"[zoo] {tag}: ess/grad(min)="

@@ -58,6 +58,47 @@ def test_dense_mass_ops_fallback_on_bad_matrix():
                                np.eye(2, dtype=np.float32), atol=1e-6)
 
 
+def test_dense_mass_ops_scale_guard_mask():
+    """Masked coordinates keep only their variance; cross terms with
+    the dense block are zeroed; result stays PD/factorizable."""
+    sigma = jnp.asarray(_corr_sigma(4, 0.6), jnp.float32)
+    mask = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    sig_out, r_fac = H.dense_mass_ops(sigma, dense_mask=mask)
+    s = np.asarray(sig_out)
+    # coord 2 decoupled, variance kept
+    assert s[2, 2] == pytest.approx(1.0, abs=1e-6)
+    assert np.all(s[2, [0, 1, 3]] == 0.0)
+    assert np.all(s[[0, 1, 3], 2] == 0.0)
+    # dense block untouched
+    np.testing.assert_allclose(s[np.ix_([0, 1, 3], [0, 1, 3])],
+                               np.asarray(sigma)[np.ix_([0, 1, 3],
+                                                        [0, 1, 3])],
+                               atol=1e-6)
+    rrT = np.asarray(r_fac @ r_fac.T)
+    np.testing.assert_allclose(rrT, np.linalg.inv(s), atol=1e-3)
+
+
+def test_scale_guard_mask_from_model_info():
+    """Pipeline mask: Exp-bijected (positive-support) sites -> diag,
+    Identity sites -> dense.  radon declares sigma_a/sigma_y as
+    HalfCauchy, so exactly those coordinates are guarded."""
+    from autoreparam_tpu.inference.pipeline import _scale_guard_mask
+    from autoreparam_tpu.core import get_model_info
+    from autoreparam_tpu.models import get_model
+
+    spec = get_model("radon", "MN")
+    info = get_model_info(spec.model, spec.args, spec.kwargs)
+    mask = np.asarray(_scale_guard_mask(info))
+    assert mask.shape == (info.dim,)
+    by_site = {}
+    for s in info.latents:
+        by_site[s.name] = mask[s.offset:s.offset + s.size]
+    assert np.all(by_site["sigma_a"] == 0.0)
+    assert np.all(by_site["sigma_y"] == 0.0)
+    assert np.all(by_site["a"] == 1.0)
+    assert np.all(by_site["mua"] == 1.0)
+
+
 def test_dense_leapfrog_energy_and_reversibility():
     sigma = jnp.asarray(_corr_sigma(4, 0.7), jnp.float32)
 
