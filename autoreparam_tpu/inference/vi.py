@@ -114,6 +114,34 @@ def _gaussian_entropy(log_scale):
 LAM_REG_DEFAULT = 0.0
 
 
+#: jitted-fit-program memo: WeakKeyDictionary[model] -> {static_key:
+#: jitted callable}.  Keyed on the model OBJECT (weakly — dropping the
+#: model frees its programs) plus identities of the data arrays and
+#: every static config knob; a hit skips fit_vi's Python re-trace
+#: (~1.3s host on the bench shapes), so repeat fits in a resident
+#: process cost only device execution.  jax.clear_caches() still
+#: clears the underlying executables (the memoized wrapper simply
+#: recompiles on next use), so long sweeps keep their LLVM-memory
+#: hygiene (CLAUDE.md).
+_FIT_PROGRAM_CACHE = None
+
+
+def _cached_fit_program(model, static_key, build):
+    global _FIT_PROGRAM_CACHE
+    if _FIT_PROGRAM_CACHE is None:
+        import weakref
+        _FIT_PROGRAM_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per_model = _FIT_PROGRAM_CACHE.setdefault(model, {})
+    except TypeError:  # unhashable / unweakrefable model object
+        return build()
+    fn = per_model.get(static_key)
+    if fn is None:
+        fn = build()
+        per_model[static_key] = fn
+    return fn
+
+
 def _vi_problem(model, model_args, model_kwargs, vip_sites, lam_tie,
                 init_loc, num_mc_samples, q_rank: int = 0,
                 lam_reg: float = 0.0):
@@ -325,12 +353,25 @@ def fit_vi(model: Callable,
     # .jax_cache/. Everything data-dependent (key, perturb) is a traced
     # argument; the HLO depends only on the model constants and sizes,
     # so it is identical across invocations (CLAUDE.md cache rule).
+    # The jitted callable is additionally memoized per (model, static
+    # config): repeat fits in a resident process then skip the ~1.3s
+    # Python re-trace too and pay only device execution — the marginal
+    # per-fit cost bench.py's steady amortized metric reports.
+    cache_key = (tuple(id(a) for a in model_args),
+                 tuple(sorted((k, id(v)) for k, v in model_kwargs.items())),
+                 vip_sites, num_steps, num_mc_samples, learning_rate,
+                 lr_schedule, id(init_loc) if init_loc is not None
+                 else None, num_restarts, lam_tie, q_rank, float(lam_reg))
     if num_restarts <= 1:
-        params, elbos = jax.jit(one_fit)(key, jnp.float32(0.0))
+        fit_fn = _cached_fit_program(model, ("single",) + cache_key,
+                                     lambda: jax.jit(one_fit))
+        params, elbos = fit_fn(key, jnp.float32(0.0))
     else:
         # vmapping the whole fit runs the restarts as one batched
         # program — restarts are data parallelism here
-        params_k, elbos_k = jax.jit(jax.vmap(one_fit))(
+        fit_fn = _cached_fit_program(model, ("vmap",) + cache_key,
+                                     lambda: jax.jit(jax.vmap(one_fit)))
+        params_k, elbos_k = fit_fn(
             jax.random.split(key, num_restarts),
             jnp.arange(num_restarts, dtype=jnp.float32).clip(0.0, 1.0))
         score = jnp.mean(elbos_k[:, -100:], axis=-1)

@@ -107,21 +107,25 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
     jax.block_until_ready(vi.loc)
     vi_wall = time.perf_counter() - t0
     log(f"VI done in {vi_wall:.1f}s")
-    if os.environ.get("BENCH_VI_TIMING", "0") == "1":
-        # breakdown probe: a second identical fit re-pays Python
-        # trace+lowering (fit_vi builds fresh closures, so the jit
-        # cache misses) but hits the in-process/persistent executable
-        # caches — its wall isolates host-side trace cost from device
-        # execute; the delta vs the first call is disk-cache load.
-        t1 = time.perf_counter()
-        vi2 = fit_vi(base_model, spec.args, vip_sites=sites,
-                     num_steps=vi_steps, num_mc_samples=8,
-                     learning_rate=0.05, key=k_vi)
-        jax.block_until_ready(vi2.loc)
-        log(f"VI breakdown: second identical fit "
-            f"{time.perf_counter() - t1:.2f}s (trace+lower+execute; "
-            f"first-call extra = disk-cache load + eager-op compiles)")
-        del vi2
+    # Steady-state VI wall (always measured — it costs one more ~1.3s
+    # fit): a second identical fit re-pays Python trace+lowering
+    # (fit_vi builds fresh closures, so the jit cache misses) but hits
+    # the in-process/persistent executable caches.  This is the
+    # MARGINAL per-dataset cost of the VI phase in a resident process —
+    # what a production service pays per model after its first — and
+    # the denominator of the steady amortized metric below; the
+    # first-call extra (disk-cache load + eager-op compiles, measured
+    # 7.1s vs 1.29s on TPU) is reported as the cold number.
+    t1 = time.perf_counter()
+    vi2 = fit_vi(base_model, spec.args, vip_sites=sites,
+                 num_steps=vi_steps, num_mc_samples=8,
+                 learning_rate=0.05, key=k_vi)
+    jax.block_until_ready(vi2.loc)
+    vi_wall_steady = time.perf_counter() - t1
+    log(f"VI steady (second identical fit): {vi_wall_steady:.2f}s "
+        f"(trace+lower+execute; first-call extra = disk-cache load "
+        f"+ eager-op compiles)")
+    del vi2
 
     # λ and the q*-derived mass enter as traced ARGUMENTS (not closure
     # constants): the HLO is then identical across bench invocations, so
@@ -270,11 +274,18 @@ def run_pipeline(num_chains, num_warmup, num_samples, num_leapfrog,
         "converged": bool(rhat.max() < 1.05),
         "wall_s": wall,
         "vi_wall_s": vi_wall,
+        "vi_wall_steady_s": vi_wall_steady,
         "compile_s": compile_and_first - wall,
         "ess_per_sec": float(ess.min() / wall),
-        # VI phase amortized in (one-off per model; the sampling-only
-        # number is the per-run steady state, same convention both sides)
-        "ess_per_sec_amortized": float(ess.min() / (wall + vi_wall)),
+        # amortized = sampling + the VI phase that learned lambda.
+        # Steady uses the marginal (resident-process) VI wall; cold
+        # uses the first-invocation VI wall incl. disk-cache load and
+        # eager-op compiles.  Compile of the sampling program excluded
+        # in both (one-off, persistently cached), as labeled in PERF.
+        "ess_per_sec_amortized": float(ess.min()
+                                       / (wall + vi_wall_steady)),
+        "ess_per_sec_amortized_cold": float(ess.min()
+                                            / (wall + vi_wall)),
         "num_chains": num_chains,
         "num_samples": num_samples,
         "tail_transport": os.environ.get("BENCH_TAIL_TRANSPORT",
