@@ -354,13 +354,12 @@ def run_experiment(spec: ModelSpec,
         share_adaptation = ("mass" if spec.name in MASS_ONLY_POOLING
                             else True)
     # The dense metric is implemented for the plain-HMC engine (it is
-    # where the zoo's method comparison runs); other engines and the
-    # sharded runner keep the diagonal metric, recorded honestly below.
+    # where the zoo's method comparison runs), local and sharded; other
+    # engines keep the diagonal metric, recorded honestly below.
     eff_mass_structure = (
         mass_structure if (mass_structure == "dense"
                            and inference == "hmc"
-                           and method != "interleaved"
-                           and not shard) else "diag")
+                           and method != "interleaved") else "diag")
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog_steps,
                       target_accept=target_accept,
@@ -517,14 +516,15 @@ def run_experiment(spec: ModelSpec,
                                                   k_run, im1d)
     else:
         pot = make_potential_fn(sampled_model, info, args, kwargs)
+        if eff_mass_structure == "dense":
+            dense_mask = _scale_guard_mask(info)
         if mesh is not None:
             from ..parallel import run_hmc_sharded
             samples, stats = run_hmc_sharded(pot, init, k_run, cfg, mesh,
                                              inv_mass_diag=inv_mass,
-                                             collect_fn=collect)
+                                             collect_fn=collect,
+                                             dense_mask=dense_mask)
         else:
-            if eff_mass_structure == "dense":
-                dense_mask = _scale_guard_mask(info)
             def _hmc_local(lam_a, init_a, key_a, im_a):
                 p, c = _lam_pot_collect(lam_a)
                 return H.run_hmc(p, init_a, key_a, cfg,

@@ -33,20 +33,29 @@ def _chain_sharding(mesh, axis):
 def run_hmc_sharded(potential_fn: Callable, init_positions, key,
                     config: H.HMCConfig, mesh: Mesh,
                     inv_mass_diag=None,
-                    collect_fn: Optional[Callable] = None):
+                    collect_fn: Optional[Callable] = None,
+                    dense_mask=None):
     """run_hmc with the chain batch sharded over `mesh`.
 
     `init_positions` (C, D) is placed with chains sharded; all scan
     state inherits the sharding through XLA propagation.  Samples come
     back sharded (S, C, D) on axis 1 — feed them to
     parallel.collectives for pooled diagnostics without a gather.
+
+    `mass_structure="dense"` works unchanged under sharding: the dense
+    ensemble Welford's chain-axis reductions (`jnp.mean(z, 0)`,
+    `zcᵀ·zc`) lower to psums over ICI, and the (D, D) metric state
+    (Σ, R, Cholesky at window ends) stays replicated on every device —
+    O(D²) replicated FLOPs per window, negligible next to the sharded
+    leapfrog gradients.
     """
     init = shard_chains(mesh, init_positions, axis=0)
 
     fn = jax.jit(
         lambda i, k: H.run_hmc(potential_fn, i, k, config,
                                inv_mass_diag=inv_mass_diag,
-                               collect_fn=collect_fn),
+                               collect_fn=collect_fn,
+                               dense_mask=dense_mask),
         in_shardings=(_chain_sharding(mesh, 0), NamedSharding(mesh, P())),
     )
     return fn(init, key)

@@ -180,6 +180,42 @@ def test_dense_stats_contract():
     assert stats["num_grad_evals_per_sample"] == 4
 
 
+def test_dense_sharded_matches_local():
+    """Dense metric under the chain mesh: the ensemble-covariance
+    reductions become psums over the sharded chain axis and the run
+    must produce the same statistics as the local path (same PRNG
+    stream, deterministic math — exact up to reduction order)."""
+    from autoreparam_tpu.parallel import make_mesh, run_hmc_sharded
+
+    d, rho = 8, 0.9
+    sigma = _corr_sigma(d, rho)
+    prec = jnp.asarray(np.linalg.inv(sigma), jnp.float32)
+
+    def pot(z):
+        return 0.5 * jnp.dot(z, prec @ z)
+
+    C = 32
+    key = jax.random.PRNGKey(3)
+    init = jax.random.normal(jax.random.fold_in(key, 1), (C, d))
+    cfg = H.HMCConfig(num_warmup=300, num_samples=300,
+                      num_leapfrog_steps=4, share_adaptation=True,
+                      mass_structure="dense")
+    mesh = make_mesh()
+    s_sh, st_sh = run_hmc_sharded(pot, init, key, cfg, mesh)
+    s_lo, st_lo = H.run_hmc(pot, init, key, cfg)
+    a, b = np.asarray(s_sh), np.asarray(s_lo)
+    # identical program modulo reduction order: moments must agree
+    # tightly, and the learned metric must match
+    np.testing.assert_allclose(a.mean((0, 1)), b.mean((0, 1)), atol=0.05)
+    np.testing.assert_allclose(np.asarray(st_sh["inv_mass_dense"]),
+                               np.asarray(st_lo["inv_mass_dense"]),
+                               rtol=0.1, atol=0.05)
+    # and the sharded run must actually have learned the correlation
+    est = np.asarray(st_sh["inv_mass_dense"])
+    corr = est / np.sqrt(np.outer(np.diag(est), np.diag(est)))
+    assert corr[0, 1] > 0.5
+
+
 def test_pipeline_dense_mass_flag():
     """run_experiment(mass_structure='dense') runs end to end and
     records the effective structure; non-HMC engines fall back to diag
