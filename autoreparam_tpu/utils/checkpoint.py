@@ -183,6 +183,16 @@ class ResumableHMC(_ResumableSampler):
     def __init__(self, potential_fn: Callable, config: H.HMCConfig,
                  ckpt_dir: str, chunk_size: int = 200):
         super().__init__(ckpt_dir, chunk_size)
+        if getattr(config, "mass_structure", "diag") == "dense":
+            # the checkpoint template stores a (C, D) diagonal mass;
+            # silently resuming a dense-metric run with its diagonal
+            # would change the kernel mid-run.  Fail loudly until the
+            # (D, D) state is part of the template.
+            raise NotImplementedError(
+                "ResumableHMC does not yet support "
+                "mass_structure='dense' (checkpoint template stores a "
+                "diagonal mass); run with the diagonal metric or "
+                "without checkpointing")
         self.potential_fn = potential_fn
         self.config = config
         # step_size/inv_mass are traced args (repo convention: learned

@@ -216,6 +216,17 @@ def test_dense_sharded_matches_local():
     assert corr[0, 1] > 0.5
 
 
+def test_resumable_hmc_rejects_dense():
+    """The orbax-resumable runner's checkpoint template stores a
+    diagonal mass; a dense config must fail loudly, not silently
+    resume with a different kernel."""
+    from autoreparam_tpu.utils.checkpoint import ResumableHMC
+
+    cfg = H.HMCConfig(mass_structure="dense")
+    with pytest.raises(NotImplementedError):
+        ResumableHMC(lambda z: 0.5 * jnp.sum(z ** 2), cfg, "/tmp/x")
+
+
 def test_pipeline_dense_mass_flag():
     """run_experiment(mass_structure='dense') runs end to end and
     records the effective structure; non-HMC engines fall back to diag
