@@ -116,7 +116,7 @@ flags.DEFINE_enum("mass_structure", "diag", ["diag", "dense"],
                   "dense (D, D) inverse mass estimated from the pooled "
                   "cross-chain ensemble during warmup — removes the "
                   "mixing cost of inter-block posterior correlations "
-                  "a diagonal metric cannot see (plain-HMC engine)")
+                  "a diagonal metric cannot see (HMC and NUTS engines)")
 flags.DEFINE_integer("ghmc_thin", 1,
                      "keep every N-th GHMC sweep (1 gradient each; "
                      "ess/grad accounting stays exact) — bounds kept-"

@@ -82,15 +82,43 @@ class _NutsInfo(NamedTuple):
 
 
 def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
-                divergence_threshold: float = 1000.0):
+                divergence_threshold: float = 1000.0,
+                mass_structure: str = "diag"):
     """Build `one_step(z, key, step_size, inv_mass) -> (z_new, info)` for
-    a single chain."""
+    a single chain.
+
+    With ``mass_structure="dense"`` the `inv_mass` argument is the
+    `(Σ, R)` pair from `hmc.dense_mass_ops`, SHARED across the chain
+    batch (vmap in_axes=(0, 0, 0, None)); the metric enters through
+    the same four primitives as the diagonal case — momentum draw
+    r = R·u, kinetic ½·rᵀΣr, drift ε·Σ·r, and the U-turn velocities
+    v = Σ·r — so the tree machinery is metric-agnostic.
+    """
 
     value_and_grad = jax.value_and_grad(potential_fn)
 
+    if mass_structure == "dense":
+        def _draw(k, D, dtype, m):
+            return m[1] @ jax.random.normal(k, (D,), dtype)
+
+        def _kin(r, m):
+            return 0.5 * jnp.dot(r, m[0] @ r)
+
+        def _vel(r, m):
+            return m[0] @ r
+    else:
+        def _draw(k, D, dtype, m):
+            return jax.random.normal(k, (D,), dtype) * jax.lax.rsqrt(m)
+
+        def _kin(r, m):
+            return 0.5 * jnp.sum(r * r * m)
+
+        def _vel(r, m):
+            return m * r
+
     def leapfrog_1(z, r, grad, eps, inv_mass):
         r_half = r - 0.5 * eps * grad
-        z_new = z + eps * inv_mass * r_half
+        z_new = z + eps * _vel(r_half, inv_mass)
         pot_new, grad_new = value_and_grad(z_new)
         r_new = r_half - 0.5 * eps * grad_new
         return z_new, r_new, pot_new, grad_new
@@ -100,9 +128,8 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
         dtype = z0.dtype
         k_mom, k_loop = jax.random.split(key)
         pot0, grad0 = value_and_grad(z0)
-        r0 = (jax.random.normal(k_mom, (D,), dtype)
-              * jax.lax.rsqrt(inv_mass))
-        energy0 = pot0 + 0.5 * jnp.sum(r0 * r0 * inv_mass)
+        r0 = _draw(k_mom, D, dtype, inv_mass)
+        energy0 = pot0 + _kin(r0, inv_mass)
 
         # trajectory state
         zL, rL, gL = z0, r0, grad0    # leftmost leaf
@@ -151,7 +178,7 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
                 slot, imin, imax, odd, lk = xs
                 z_new, r_new, pot_new, grad_new = leapfrog_1(
                     c["z"], c["r"], c["grad"], eps, inv_mass)
-                h = pot_new + 0.5 * jnp.sum(r_new * r_new * inv_mass)
+                h = pot_new + _kin(r_new, inv_mass)
                 dE = energy0 - h
                 dE = jnp.where(jnp.isnan(dE), -jnp.inf, dE)
                 div_leaf = -dE > divergence_threshold
@@ -177,8 +204,8 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
                     r_l = ck_r[s]
                     rho = (r_sum_new - ck_rs[s] + r_l
                            - 0.5 * (r_l + r_new))
-                    return _is_turning(inv_mass * r_l,
-                                       inv_mass * r_new, rho)
+                    return _is_turning(_vel(r_l, inv_mass),
+                                       _vel(r_new, inv_mass), rho)
 
                 turning = jnp.zeros((), bool)
                 for s in range(max_tree_depth):
@@ -255,7 +282,8 @@ def nuts_kernel(potential_fn: Callable, max_tree_depth: int = 8,
 
             # whole-trajectory U-turn check after a successful merge
             rho = r_sum - 0.5 * (rL + rR)
-            turned = _is_turning(inv_mass * rL, inv_mass * rR, rho)
+            turned = _is_turning(_vel(rL, inv_mass),
+                                 _vel(rR, inv_mass), rho)
 
             divergent = jnp.logical_or(divergent,
                                        jnp.logical_and(active, sub["div"]))
@@ -325,12 +353,14 @@ def sample_nuts(potential_fn: Callable, z0, key, num_samples: int,
                 max_tree_depth: int = 8,
                 step_jitter: float = 0.0,
                 collect_fn: Optional[Callable] = None,
-                scan_chunk: Optional[int] = 128):
+                scan_chunk: Optional[int] = 128,
+                mass_structure: str = "diag"):
     """Post-adaptation NUTS sampling from an explicit state (resume
     point, mirroring hmc.sample_hmc).  `step_size` (C,) and `inv_mass`
     (C, D) are traced args (repo convention: learned arrays must not be
     jit closure constants), so a resume with different adapted values
-    reuses the compiled program.
+    reuses the compiled program.  With `mass_structure="dense"`,
+    `inv_mass` is the shared `(Σ, R)` pair instead of a (C, D) array.
 
     Returns (samples, z_final, (accept, divergent, depth, grads,
     energy)).
@@ -338,8 +368,10 @@ def sample_nuts(potential_fn: Callable, z0, key, num_samples: int,
     where it stopped.
     """
     C, D = z0.shape
-    kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth),
-                    in_axes=(0, 0, 0, 0))
+    kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth,
+                                mass_structure=mass_structure),
+                    in_axes=(0, 0, 0,
+                             None if mass_structure == "dense" else 0))
     if collect_fn is None:
         collect_fn = lambda z: z  # noqa: E731
 
@@ -379,7 +411,9 @@ def run_nuts(potential_fn: Callable,
              scan_chunk: Optional[int] = 128,
              step_jitter: float = 0.2,
              step_jitter_warmup: bool = False,
-             pooled_accept_stat: str = "geom"):
+             pooled_accept_stat: str = "geom",
+             mass_structure: str = "diag",
+             dense_mask=None):
     """Warmup + sampling (same driver structure as run_hmc;
     NUTS-standard target acceptance 0.8), scans chunked to bound the
     single-execution program length (see _chunked_scan).
@@ -399,8 +433,10 @@ def run_nuts(potential_fn: Callable,
     """
     C, D = init_positions.shape
     dtype = init_positions.dtype
-    kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth),
-                    in_axes=(0, 0, 0, 0))
+    dense = mass_structure == "dense"
+    kern = jax.vmap(nuts_kernel(potential_fn, max_tree_depth,
+                                mass_structure=mass_structure),
+                    in_axes=(0, 0, 0, None if dense else 0))
 
     share_step = share_adaptation is True or share_adaptation == "all"
     jitter = step_jitter if share_step else 0.0
@@ -412,15 +448,30 @@ def run_nuts(potential_fn: Callable,
                                maxval=1.0 + jitter)
         return step_size * u
 
-    if inv_mass_diag is None:
+    if dense:
+        # dense metric: one shared (Σ, R) pair, pooled dense ensemble
+        # Welford during the slow windows — same scheme as
+        # hmc._run_hmc_dense, same scale-guard mask semantics.
+        if inv_mass_diag is None:
+            diag0 = jnp.ones((D,), dtype)
+        else:
+            dmat = jnp.asarray(inv_mass_diag, dtype)
+            diag0 = jnp.mean(dmat, axis=0) if dmat.ndim > 1 else dmat
+        eye = jnp.eye(D, dtype=dtype)
+        inv_mass0 = (eye * diag0[None, :],
+                     eye * jax.lax.rsqrt(jnp.clip(diag0, 1e-12,
+                                                  None))[None, :])
+    elif inv_mass_diag is None:
         inv_mass0 = jnp.ones((C, D), dtype)
     else:
         inv_mass0 = jnp.broadcast_to(jnp.asarray(inv_mass_diag, dtype),
                                      (C, D))
 
     da0 = H.da_init(jnp.full((C,), init_step_size, dtype))
-    wf0 = H.WelfordState(jnp.zeros((C, D), dtype),
-                         jnp.zeros((C, D), dtype), jnp.zeros((C,), dtype))
+    wf0 = (H.dense_welford_init(D, dtype) if dense
+           else H.WelfordState(jnp.zeros((C, D), dtype),
+                               jnp.zeros((C, D), dtype),
+                               jnp.zeros((C,), dtype)))
     is_slow, is_end = H.warmup_schedule(num_warmup)
     is_slow, is_end = jnp.asarray(is_slow), jnp.asarray(is_end)
 
@@ -433,10 +484,31 @@ def run_nuts(potential_fn: Callable,
         if step_jitter_warmup:
             step_size = _jittered(step_size, kj)
         z, info = kern(z, keys, step_size, inv_mass)
-        da, wf, inv_mass = H.adapt_step(
-            da, wf, inv_mass, z, info.accept_prob, slow, end,
-            target_accept=target_accept, adapt_mass=adapt_mass,
-            share=share_adaptation, pooled_stat=pooled_accept_stat)
+        if dense:
+            da, _, _ = H.adapt_step(
+                da, None, None, z, info.accept_prob, slow, end,
+                target_accept=target_accept, adapt_mass=False,
+                share=share_adaptation, pooled_stat=pooled_accept_stat)
+            if adapt_mass:
+                sigma, r_fac = inv_mass
+                wf_new = H.dense_welford_update(wf, z)
+                wf = jax.tree.map(lambda a, b: jnp.where(slow, b, a),
+                                  wf, wf_new)
+                sig_new, rfac_new = H.dense_mass_ops(
+                    H.dense_welford_cov(wf), dense_mask=dense_mask)
+                sigma = jnp.where(end, sig_new, sigma)
+                r_fac = jnp.where(end, rfac_new, r_fac)
+                wf = jax.tree.map(
+                    lambda a: jnp.where(end, jnp.zeros_like(a), a), wf)
+                da = jax.tree.map(
+                    lambda a, b: jnp.where(end, b, a), da,
+                    H.da_init(jnp.exp(da.log_eps)))
+                inv_mass = (sigma, r_fac)
+        else:
+            da, wf, inv_mass = H.adapt_step(
+                da, wf, inv_mass, z, info.accept_prob, slow, end,
+                target_accept=target_accept, adapt_mass=adapt_mass,
+                share=share_adaptation, pooled_stat=pooled_accept_stat)
         return (z, da, wf, inv_mass), info.accept_prob
 
     key, kw, ks = jax.random.split(key, 3)
@@ -459,11 +531,15 @@ def run_nuts(potential_fn: Callable,
     samples, z_final, (acc, div, depth, grads, energy) = sample_nuts(
         potential_fn, z0, ks, num_samples, step_final, inv_mass0,
         max_tree_depth=max_tree_depth, step_jitter=jitter,
-        collect_fn=collect_fn, scan_chunk=scan_chunk)
+        collect_fn=collect_fn, scan_chunk=scan_chunk,
+        mass_structure=mass_structure)
 
     stats = {
         "step_size": step_final,
-        "inv_mass_diag": inv_mass0,
+        "inv_mass_diag": (jnp.broadcast_to(jnp.diagonal(inv_mass0[0]),
+                                           (C, D))
+                          if dense else inv_mass0),
+        **({"inv_mass_dense": inv_mass0[0]} if dense else {}),
         "accept_prob": acc,
         "divergences": div,
         "tree_depth": depth,

@@ -353,12 +353,12 @@ def run_experiment(spec: ModelSpec,
     if share_adaptation is None:
         share_adaptation = ("mass" if spec.name in MASS_ONLY_POOLING
                             else True)
-    # The dense metric is implemented for the plain-HMC engine (it is
-    # where the zoo's method comparison runs), local and sharded; other
-    # engines keep the diagonal metric, recorded honestly below.
+    # The dense metric is implemented for the plain-HMC and NUTS
+    # engines (local and sharded); other engines keep the diagonal
+    # metric, recorded honestly below.
     eff_mass_structure = (
         mass_structure if (mass_structure == "dense"
-                           and inference == "hmc"
+                           and inference in ("hmc", "nuts")
                            and method != "interleaved") else "diag")
     cfg = H.HMCConfig(num_warmup=num_warmup, num_samples=num_samples,
                       num_leapfrog_steps=num_leapfrog_steps,
@@ -461,6 +461,10 @@ def run_experiment(spec: ModelSpec,
                        target_accept=target_accept,
                        share_adaptation=share_adaptation,
                        inv_mass_diag=inv_mass, collect_fn=collect)
+        if eff_mass_structure == "dense":
+            dense_mask = _scale_guard_mask(info)
+            nuts_kw.update(mass_structure="dense",
+                           dense_mask=dense_mask)
         if mesh is not None:
             from ..parallel import run_nuts_sharded
             samples, stats = run_nuts_sharded(pot, init, k_run, mesh,

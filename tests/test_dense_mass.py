@@ -216,6 +216,51 @@ def test_dense_sharded_matches_local():
     assert corr[0, 1] > 0.5
 
 
+def test_nuts_dense_correlated_gaussian():
+    """Dense metric through the NUTS engine: correct moments, learned
+    correlation, and a min-ESS win over the diagonal metric (NUTS's
+    adaptive depth means the win shows as shorter trees AND better
+    per-sample mixing)."""
+    from autoreparam_tpu.inference.nuts import run_nuts
+    from autoreparam_tpu.inference import diagnostics as dg
+
+    d, rho = 12, 0.95
+    sigma = _corr_sigma(d, rho)
+    prec = jnp.asarray(np.linalg.inv(sigma), jnp.float32)
+
+    def pot(z):
+        return 0.5 * jnp.dot(z, prec @ z)
+
+    C = 16
+    key = jax.random.PRNGKey(1)
+    init = jax.random.normal(jax.random.fold_in(key, 1), (C, d))
+    kw = dict(num_warmup=400, num_samples=400, max_tree_depth=7,
+              share_adaptation=True)
+    s_dense, st_dense = run_nuts(pot, init, key,
+                                 mass_structure="dense", **kw)
+    s_diag, st_diag = run_nuts(pot, init, key, **kw)
+
+    est = np.asarray(st_dense["inv_mass_dense"])
+    assert est.shape == (d, d) and np.all(np.isfinite(est))
+    corr = est / np.sqrt(np.outer(np.diag(est), np.diag(est)))
+    assert corr[0, 1] > 0.6
+
+    sd = np.asarray(s_dense).reshape(-1, d)
+    np.testing.assert_allclose(sd.mean(0), np.zeros(d), atol=0.2)
+    np.testing.assert_allclose(sd.var(0), np.diag(sigma), rtol=0.3)
+
+    ess_dense = float(jnp.min(dg.effective_sample_size(
+        jnp.asarray(s_dense))))
+    ess_diag = float(jnp.min(dg.effective_sample_size(
+        jnp.asarray(s_diag))))
+    grads_dense = float(np.asarray(st_dense["num_grad_evals_per_sample"]))
+    grads_diag = float(np.asarray(st_diag["num_grad_evals_per_sample"]))
+    # per-gradient efficiency is the honest NUTS comparison (adaptive
+    # depth spends different budgets); require a clear dense win
+    assert (ess_dense / grads_dense) > 2.0 * (ess_diag / grads_diag), (
+        ess_dense, grads_dense, ess_diag, grads_diag)
+
+
 def test_resumable_hmc_rejects_dense():
     """The orbax-resumable runner's checkpoint template stores a
     diagonal mass; a dense config must fail loudly, not silently
