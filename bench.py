@@ -325,7 +325,7 @@ PREFLIGHT_DIAGNOSIS = None
 
 def tpu_preflight(
         timeout_s=int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 240)),
-        attempts=int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", 3))):
+        attempts=int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", 5))):
     """Probe TPU availability in a subprocess (the axon tunnel can hang
     for minutes before failing UNAVAILABLE; a hung in-process backend
     init would take the whole bench down with it).  Returns True when a
@@ -336,7 +336,10 @@ def tpu_preflight(
     after compute.  A timeout with ENUM seen is the documented
     zombie-session wedge (devices enumerate, compute queues behind a
     dead session — CLAUDE.md); the settle wait between attempts is
-    sized to outlast it (measured minutes, so 120s x escalating)."""
+    sized to outlast it.  Wedge durations measured in round 5 range
+    from ~5 min (typical post-process-churn) to ~25 min (after heavy
+    back-to-back TPU process turnover), so 5 attempts x 240s + the
+    escalating settles cover ~36 min before the CPU fallback."""
     global PREFLIGHT_DIAGNOSIS
     code = ("import jax; ds = jax.devices(); "
             "print('ENUM', len(ds), ds[0].platform, flush=True); "
