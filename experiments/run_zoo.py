@@ -71,7 +71,16 @@ FULL_OVERRIDES = {
                                             vi_mass_min_is_ess=0.0),
     "german_credit_gammascale": dict(num_warmup=30000, num_samples=10000,
                                      num_optimization_steps=5000),
-    "radon": dict(num_optimization_steps=6000, learning_rate=0.02),
+    # mass_structure="dense" + L=4 (round 5): radon has the same
+    # structure the election88 diagnosis found — the county block a[85]
+    # correlates with its regression parents (mua, b_uranium) under any
+    # diagonal metric.  Probed at 9 seeds (results/radon_dense profile
+    # in /tmp kept as zoo_full runs): dense-L4 lifts BOTH cvip (1321 ->
+    # 3481 median ess/grad) and ncp (1268 -> 3148) ~2.5x, every seed
+    # converged, and the invariant holds (cvip >= ncp by 10.6%).
+    # iHMC keeps its best config via METHOD_OVERRIDES (no dense path).
+    "radon": dict(num_optimization_steps=6000, learning_rate=0.02,
+                  num_leapfrog_steps=4, mass_structure="dense"),
     # full G&H ch.14 model (89 dims, interacting hierarchies): needs a
     # bigger budget + the converged-lambda VI recipe.  L=32: the
     # reference tuned leapfrog steps per model via its main.py sweep
@@ -127,6 +136,8 @@ FULL_OVERRIDES = {
 METHOD_OVERRIDES = {
     ("election88", "interleaved"): dict(num_leapfrog_steps=32,
                                         mass_structure="diag"),
+    ("radon", "interleaved"): dict(num_leapfrog_steps=16,
+                                   mass_structure="diag"),
 }
 
 
